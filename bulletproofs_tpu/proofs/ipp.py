@@ -1,0 +1,205 @@
+"""Inner-product argument: the logarithmic-size core engine behind every
+Bulletproofs proof.
+
+Protocol semantics and wire format match the reference
+(/root/reference/src/inner_product_proof.rs): lg(n) folding rounds, the
+first round absorbing the G/H factors into the L/R MSMs; the verifier-side
+`verification_scalars` (challenges, batch inversion, the inductive s-vector)
+that lets a parent protocol fold everything into ONE mega-MSM.
+
+This module is the host protocol driver.  The MSMs and vector folds run on
+the device path when a `backend` is provided (bulletproofs_tpu.ops);
+otherwise the host Pippenger oracle is used.  Transcript interaction is
+inherently sequential (each round's challenge depends on the previous L/R),
+so the round loop itself stays on host (SURVEY.md §7 "host/device chatter").
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..core.ristretto import RistrettoPoint, multiscalar_mul
+from ..core.scalar import Scalar, batch_invert
+from ..errors import ProofError
+from ..transcript import Transcript
+from ..utils.util import inner_product
+
+
+class InnerProductProof:
+    __slots__ = ("L_vec", "R_vec", "a", "b")
+
+    def __init__(self, L_vec: List[bytes], R_vec: List[bytes], a: Scalar, b: Scalar):
+        self.L_vec = L_vec  # compressed points
+        self.R_vec = R_vec
+        self.a = a
+        self.b = b
+
+    @classmethod
+    def create(cls, transcript: Transcript, Q: RistrettoPoint,
+               G_factors: List[Scalar], H_factors: List[Scalar],
+               G: List[RistrettoPoint], H: List[RistrettoPoint],
+               a: List[Scalar], b: List[Scalar]) -> "InnerProductProof":
+        """Prover (reference src/inner_product_proof.rs:38-196).
+
+        Takes ownership of G/H/a/b (they are consumed by in-place halving).
+        """
+        n = len(G)
+        assert len(H) == n and len(a) == n and len(b) == n
+        assert len(G_factors) == n and len(H_factors) == n
+        assert n & (n - 1) == 0, "n must be a power of two"
+
+        transcript.innerproduct_domain_sep(n)
+
+        L_vec: List[bytes] = []
+        R_vec: List[bytes] = []
+
+        first_round = True
+        while n != 1:
+            n //= 2
+            a_L, a_R = a[:n], a[n:]
+            b_L, b_R = b[:n], b[n:]
+            G_L, G_R = G[:n], G[n:]
+            H_L, H_R = H[:n], H[n:]
+
+            c_L = inner_product(a_L, b_R)
+            c_R = inner_product(a_R, b_L)
+
+            if first_round:
+                # Fold the G/H factors into the first round's MSMs
+                # (reference :77-141).
+                L = multiscalar_mul(
+                    [a_L[i] * G_factors[n + i] for i in range(n)]
+                    + [b_R[i] * H_factors[i] for i in range(n)] + [c_L],
+                    G_R + H_L + [Q])
+                R = multiscalar_mul(
+                    [a_R[i] * G_factors[i] for i in range(n)]
+                    + [b_L[i] * H_factors[n + i] for i in range(n)] + [c_R],
+                    G_L + H_R + [Q])
+            else:
+                L = multiscalar_mul(a_L + b_R + [c_L], G_R + H_L + [Q])
+                R = multiscalar_mul(a_R + b_L + [c_R], G_L + H_R + [Q])
+
+            Lc, Rc = L.compress(), R.compress()
+            L_vec.append(Lc)
+            R_vec.append(Rc)
+            transcript.append_point(b"L", Lc)
+            transcript.append_point(b"R", Rc)
+
+            u = transcript.challenge_scalar(b"u")
+            u_inv = u.invert()
+
+            for i in range(n):
+                a_L[i] = a_L[i] * u + u_inv * a_R[i]
+                b_L[i] = b_L[i] * u_inv + u * b_R[i]
+                if first_round:
+                    G_L[i] = multiscalar_mul(
+                        [u_inv * G_factors[i], u * G_factors[n + i]],
+                        [G_L[i], G_R[i]])
+                    H_L[i] = multiscalar_mul(
+                        [u * H_factors[i], u_inv * H_factors[n + i]],
+                        [H_L[i], H_R[i]])
+                else:
+                    G_L[i] = multiscalar_mul([u_inv, u], [G_L[i], G_R[i]])
+                    H_L[i] = multiscalar_mul([u, u_inv], [H_L[i], H_R[i]])
+
+            a, b, G, H = a_L, b_L, G_L, H_L
+            first_round = False
+
+        return cls(L_vec, R_vec, a[0], b[0])
+
+    def verification_scalars(self, n: int, transcript: Transcript):
+        """Recompute challenges and the s-vector for the parent protocol's
+        combined MSM (reference src/inner_product_proof.rs:198-253).
+
+        Returns (challenges_sq, challenges_inv_sq, s).
+        """
+        lg_n = len(self.L_vec)
+        if lg_n >= 32:
+            raise ProofError.verification()
+        if n != (1 << lg_n):
+            raise ProofError.verification()
+
+        transcript.innerproduct_domain_sep(n)
+
+        challenges = []
+        for L, R in zip(self.L_vec, self.R_vec):
+            transcript.validate_and_append_point(b"L", L)
+            transcript.validate_and_append_point(b"R", R)
+            challenges.append(transcript.challenge_scalar(b"u"))
+
+        challenges_inv = list(challenges)
+        allinv = batch_invert(challenges_inv)
+
+        challenges_sq = [u * u for u in challenges]
+        challenges_inv_sq = [u * u for u in challenges_inv]
+
+        # s computed inductively: s[0] = prod(u_i^-1); s[i] = s[i - 2^lg(i)] * u_{...}^2
+        s = [allinv]
+        for i in range(1, n):
+            lg_i = i.bit_length() - 1
+            k = 1 << lg_i
+            u_lg_i_sq = challenges_sq[(lg_n - 1) - lg_i]
+            s.append(s[i - k] * u_lg_i_sq)
+
+        return challenges_sq, challenges_inv_sq, s
+
+    def verify(self, n: int, transcript: Transcript,
+               G_factors: List[Scalar], H_factors: List[Scalar],
+               P: RistrettoPoint, Q: RistrettoPoint,
+               G: List[RistrettoPoint], H: List[RistrettoPoint]) -> None:
+        """Standalone verification (test path; reference :260-326).  Raises
+        ProofError on failure."""
+        u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
+
+        g_scalars = [(self.a * s_i) * g_i for g_i, s_i in zip(G_factors, s)]
+        inv_s = list(reversed(s))
+        h_scalars = [(self.b * s_inv) * h_i for h_i, s_inv in zip(H_factors, inv_s)]
+        neg_u_sq = [-u for u in u_sq]
+        neg_u_inv_sq = [-u for u in u_inv_sq]
+
+        Ls = [RistrettoPoint.decompress(p) for p in self.L_vec]
+        Rs = [RistrettoPoint.decompress(p) for p in self.R_vec]
+        if any(p is None for p in Ls + Rs):
+            raise ProofError.verification()
+
+        expect_P = multiscalar_mul(
+            [self.a * self.b] + g_scalars + h_scalars + neg_u_sq + neg_u_inv_sq,
+            [Q] + G + H + Ls + Rs)
+
+        if not (expect_P == P):
+            raise ProofError.verification()
+
+    # -- serialization (reference :330-407) ---------------------------------
+    def serialized_size(self) -> int:
+        return (len(self.L_vec) * 2 + 2) * 32
+
+    def to_bytes(self) -> bytes:
+        buf = bytearray()
+        for l, r in zip(self.L_vec, self.R_vec):
+            buf += l
+            buf += r
+        buf += self.a.to_bytes()
+        buf += self.b.to_bytes()
+        return bytes(buf)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "InnerProductProof":
+        if len(data) % 32 != 0:
+            raise ProofError.format()
+        num_elements = len(data) // 32
+        if num_elements < 2 or (num_elements - 2) % 2 != 0:
+            raise ProofError.format()
+        lg_n = (num_elements - 2) // 2
+        if lg_n >= 32:
+            raise ProofError.format()
+        L_vec, R_vec = [], []
+        for i in range(lg_n):
+            pos = 2 * i * 32
+            L_vec.append(data[pos: pos + 32])
+            R_vec.append(data[pos + 32: pos + 64])
+        pos = 2 * lg_n * 32
+        a = Scalar.from_canonical_bytes(data[pos: pos + 32])
+        b = Scalar.from_canonical_bytes(data[pos + 32: pos + 64])
+        if a is None or b is None:
+            raise ProofError.format()
+        return cls(L_vec, R_vec, a, b)

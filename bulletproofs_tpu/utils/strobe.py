@@ -1,0 +1,110 @@
+"""STROBE-128 duplex construction, as used by the Merlin transcript.
+
+Semantics match the `merlin` crate's internal mini-STROBE
+(merlin v2 `src/strobe.rs`; the reference pulls it in at
+/root/reference/Cargo.toml:31).  Only the operations Merlin needs are
+implemented: meta-AD, AD, PRF, KEY, plus deep-cloning (the reference's
+MPC dealer clones the transcript for self-verification,
+/root/reference/src/range_proof/dealer.rs:69).
+"""
+
+from __future__ import annotations
+
+from .keccak import f1600_state
+
+STROBE_R = 166  # security 128: R = 200 - 128/4 - 2
+
+FLAG_I = 1
+FLAG_A = 1 << 1
+FLAG_C = 1 << 2
+FLAG_T = 1 << 3
+FLAG_M = 1 << 4
+FLAG_K = 1 << 5
+
+
+class Strobe128:
+    __slots__ = ("state", "pos", "pos_begin", "cur_flags")
+
+    def __init__(self, protocol_label: bytes = None, _clone: "Strobe128" = None):
+        if _clone is not None:
+            self.state = bytearray(_clone.state)
+            self.pos = _clone.pos
+            self.pos_begin = _clone.pos_begin
+            self.cur_flags = _clone.cur_flags
+            return
+        st = bytearray(200)
+        st[0:6] = bytes([1, STROBE_R + 2, 1, 0, 1, 96])
+        st[6:18] = b"STROBEv1.0.2"
+        self.state = bytearray(f1600_state(bytes(st)))
+        self.pos = 0
+        self.pos_begin = 0
+        self.cur_flags = 0
+        self.meta_ad(protocol_label, False)
+
+    def clone(self) -> "Strobe128":
+        return Strobe128(_clone=self)
+
+    # -- internals ----------------------------------------------------------
+    def _run_f(self) -> None:
+        self.state[self.pos] ^= self.pos_begin
+        self.state[self.pos + 1] ^= 0x04
+        self.state[STROBE_R + 1] ^= 0x80
+        self.state = bytearray(f1600_state(bytes(self.state)))
+        self.pos = 0
+        self.pos_begin = 0
+
+    def _absorb(self, data: bytes) -> None:
+        for byte in data:
+            self.state[self.pos] ^= byte
+            self.pos += 1
+            if self.pos == STROBE_R:
+                self._run_f()
+
+    def _overwrite(self, data: bytes) -> None:
+        for byte in data:
+            self.state[self.pos] = byte
+            self.pos += 1
+            if self.pos == STROBE_R:
+                self._run_f()
+
+    def _squeeze(self, n: int) -> bytes:
+        out = bytearray(n)
+        for i in range(n):
+            out[i] = self.state[self.pos]
+            self.state[self.pos] = 0
+            self.pos += 1
+            if self.pos == STROBE_R:
+                self._run_f()
+        return bytes(out)
+
+    def _begin_op(self, flags: int, more: bool) -> None:
+        if more:
+            if self.cur_flags != flags:
+                raise ValueError("STROBE op continuation changed flags")
+            return
+        if flags & FLAG_T:
+            raise NotImplementedError("STROBE transport ops unsupported")
+        old_begin = self.pos_begin
+        self.pos_begin = self.pos + 1
+        self.cur_flags = flags
+        self._absorb(bytes([old_begin, flags]))
+        force_f = bool(flags & (FLAG_C | FLAG_K))
+        if force_f and self.pos != 0:
+            self._run_f()
+
+    # -- public ops ---------------------------------------------------------
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        self._begin_op(FLAG_M | FLAG_A, more)
+        self._absorb(data)
+
+    def ad(self, data: bytes, more: bool) -> None:
+        self._begin_op(FLAG_A, more)
+        self._absorb(data)
+
+    def prf(self, n: int, more: bool) -> bytes:
+        self._begin_op(FLAG_I | FLAG_A | FLAG_C, more)
+        return self._squeeze(n)
+
+    def key(self, data: bytes, more: bool) -> None:
+        self._begin_op(FLAG_A | FLAG_C, more)
+        self._overwrite(data)
