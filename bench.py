@@ -1,0 +1,114 @@
+"""Benchmark: batched 64-bit rangeproof verification throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference crate verifies a single 64-bit rangeproof in
+1,040 us on an i7-7800X with AVX2 (/root/reference/README.md:76), i.e.
+961.5 verifications/s single-core.  vs_baseline = ours / 961.5.
+
+Flow: prove a handful of 64-bit proofs on host, tile them into a batch
+(identical per-proof verification work), then time the fused-MSM batch
+verifier end-to-end -- host transcript replay + verification scalars,
+device batch decompression, one fused MSM, identity check.
+
+Also reports the raw MSM rate at 2^16 points on stderr.
+"""
+
+import json
+import secrets
+import sys
+import time
+
+
+class Rng:
+    @staticmethod
+    def randbytes(n):
+        return secrets.token_bytes(n)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import numpy as np
+    from bulletproofs_tpu import (BulletproofGens, PedersenGens, RangeProof,
+                                  Transcript, Scalar)
+    from bulletproofs_tpu.parallel import BatchVerifier
+
+    t0 = time.time()
+    pc_gens = PedersenGens()
+    bp_gens = BulletproofGens(64, 1)
+    log(f"generators: {time.time()-t0:.1f}s")
+
+    n = 64
+    n_distinct = 8
+    batch = 256
+    rng = Rng()
+
+    t0 = time.time()
+    proofs, vcss, labels = [], [], []
+    for i in range(n_distinct):
+        label = b"bench proof %d" % i
+        t = Transcript(label)
+        p, vcs = RangeProof.prove_multiple(
+            bp_gens, pc_gens, t, [int.from_bytes(secrets.token_bytes(8), "little")],
+            [Scalar.random(rng)], n, rng=rng)
+        proofs.append(p)
+        vcss.append(vcs)
+        labels.append(label)
+    log(f"proving {n_distinct} proofs (host): {time.time()-t0:.1f}s")
+
+    reps = batch // n_distinct
+    all_proofs = proofs * reps
+    all_vcss = vcss * reps
+    all_labels = labels * reps
+
+    bv = BatchVerifier(bp_gens, pc_gens, n=n, m=1)
+
+    # warm-up (compiles)
+    t0 = time.time()
+    bv.verify_batch(all_proofs, all_vcss,
+                    [Transcript(l) for l in all_labels], rng=rng)
+    log(f"warm-up batch verify ({batch} proofs incl. compile): {time.time()-t0:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        bv.verify_batch(all_proofs, all_vcss,
+                        [Transcript(l) for l in all_labels], rng=rng)
+    dt = (time.time() - t0) / iters
+    rate = batch / dt
+    log(f"batch of {batch}: {dt*1000:.0f} ms -> {rate:.0f} verifications/s")
+
+    # secondary metric: raw MSM points/s at 2^16 (stderr only)
+    try:
+        import jax.numpy as jnp
+        from bulletproofs_tpu.ops import curve_jax as C, msm as M
+        N = 1 << 16
+        raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
+        pts = C.from_uniform_bytes(raw)
+        scalars = [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)]
+        digits = jnp.asarray(M.signed_digits(scalars, 8, 33))
+        out = M._msm_kernel(pts, digits, 33, 8, 128, N // 128)
+        jax.device_get(out)
+        t0 = time.time()
+        for _ in range(3):
+            jax.device_get(M._msm_kernel(pts, digits, 33, 8, 128, N // 128))
+        msm_dt = (time.time() - t0) / 3
+        log(f"MSM 2^16: {msm_dt*1000:.0f} ms -> {N/msm_dt/1e6:.3f} M points/s")
+    except Exception as e:
+        log(f"MSM bench skipped: {e}")
+
+    baseline = 1e6 / 1040  # reference verifications/s
+    print(json.dumps({
+        "metric": "batched 64-bit rangeproof verification throughput",
+        "value": round(rate, 1),
+        "unit": "proofs/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,10 +22,10 @@ FLAG_M = 1 << 4
 FLAG_K = 1 << 5
 
 
-class Strobe128:
+class PyStrobe128:
     __slots__ = ("state", "pos", "pos_begin", "cur_flags")
 
-    def __init__(self, protocol_label: bytes = None, _clone: "Strobe128" = None):
+    def __init__(self, protocol_label: bytes = None, _clone: "PyStrobe128" = None):
         if _clone is not None:
             self.state = bytearray(_clone.state)
             self.pos = _clone.pos
@@ -41,8 +41,8 @@ class Strobe128:
         self.cur_flags = 0
         self.meta_ad(protocol_label, False)
 
-    def clone(self) -> "Strobe128":
-        return Strobe128(_clone=self)
+    def clone(self) -> "PyStrobe128":
+        return PyStrobe128(_clone=self)
 
     # -- internals ----------------------------------------------------------
     def _run_f(self) -> None:
@@ -108,3 +108,73 @@ class Strobe128:
     def key(self, data: bytes, more: bool) -> None:
         self._begin_op(FLAG_A | FLAG_C, more)
         self._overwrite(data)
+
+
+# ---------------------------------------------------------------------------
+# Native backend (native/transcript.cpp via ctypes): same semantics, C speed.
+# Transcript replay is per-proof work in batched verification, so this is a
+# host-path hot spot (SURVEY.md §2b: merlin is "host-side ... bit-exact").
+# ---------------------------------------------------------------------------
+
+def _load_native():
+    import ctypes, os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "libbptranscript.so")
+    if not os.path.exists(so):
+        # try to build it once if a toolchain is available
+        build = os.path.join(here, "native", "build.sh")
+        if os.path.exists(build):
+            import subprocess
+            try:
+                subprocess.run(["sh", build], capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    for name in ("strobe_init", "strobe_meta_ad", "strobe_ad", "strobe_prf",
+                 "strobe_key"):
+        getattr(lib, name).restype = None
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+class CStrobe128:
+    """ctypes binding to the C++ STROBE-128 (state blob: 200B + 3 counters)."""
+
+    __slots__ = ("buf",)
+    _SIZE = 208  # sizeof(Strobe) with alignment padding
+
+    def __init__(self, protocol_label: bytes = None, _clone: "CStrobe128" = None):
+        import ctypes
+        if _clone is not None:
+            self.buf = ctypes.create_string_buffer(_clone.buf.raw, self._SIZE)
+            return
+        self.buf = ctypes.create_string_buffer(self._SIZE)
+        _NATIVE.strobe_init(self.buf, protocol_label, len(protocol_label))
+
+    def clone(self) -> "CStrobe128":
+        return CStrobe128(_clone=self)
+
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        _NATIVE.strobe_meta_ad(self.buf, bytes(data), len(data), int(more))
+
+    def ad(self, data: bytes, more: bool) -> None:
+        _NATIVE.strobe_ad(self.buf, bytes(data), len(data), int(more))
+
+    def prf(self, n: int, more: bool) -> bytes:
+        import ctypes
+        out = ctypes.create_string_buffer(n)
+        _NATIVE.strobe_prf(self.buf, out, n, int(more))
+        return out.raw[:n]
+
+    def key(self, data: bytes, more: bool) -> None:
+        _NATIVE.strobe_key(self.buf, bytes(data), len(data), int(more))
+
+
+Strobe128 = CStrobe128 if _NATIVE is not None else PyStrobe128

@@ -1,0 +1,167 @@
+// Native transcript core: Keccak-f[1600] + STROBE-128 operations.
+//
+// Host-side replacement for the reference's merlin/keccak Rust dependencies
+// (SURVEY.md §2b): transcript replay is on the critical path of batched
+// verification (one replay per proof), so the byte-oriented sponge runs in
+// C++ while all wide arithmetic runs on TPU.  Exposed via ctypes
+// (bulletproofs_tpu/utils/strobe.py selects this backend when built).
+//
+// Build: native/build.sh -> native/libbptranscript.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+// rotation offsets for lane (x, y), lane index = x + 5y
+constexpr int ROT[5][5] = {
+    {0, 36, 3, 41, 18},
+    {1, 44, 10, 45, 2},
+    {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56},
+    {27, 20, 39, 8, 14},
+};
+
+inline uint64_t rol(uint64_t v, int n) {
+  n &= 63;
+  return n ? (v << n) | (v >> (64 - n)) : v;
+}
+
+void f1600_lanes(uint64_t a[25]) {
+  for (int rnd = 0; rnd < 24; ++rnd) {
+    // theta
+    uint64_t c[5], d[5];
+    for (int x = 0; x < 5; ++x)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; ++x)
+      d[x] = c[(x + 4) % 5] ^ rol(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y) a[x + 5 * y] ^= d[x];
+    // rho + pi
+    uint64_t b[25];
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rol(a[x + 5 * y], ROT[x][y]);
+    // chi
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+    // iota
+    a[0] ^= RC[rnd];
+  }
+}
+
+constexpr int STROBE_R = 166;
+constexpr uint8_t FLAG_I = 1, FLAG_A = 2, FLAG_C = 4, FLAG_T = 8,
+                  FLAG_M = 16, FLAG_K = 32;
+
+struct Strobe {
+  uint8_t state[200];
+  uint8_t pos;
+  uint8_t pos_begin;
+  uint8_t cur_flags;
+};
+
+void run_f(Strobe* s) {
+  s->state[s->pos] ^= s->pos_begin;
+  s->state[s->pos + 1] ^= 0x04;
+  s->state[STROBE_R + 1] ^= 0x80;
+  uint64_t lanes[25];
+  std::memcpy(lanes, s->state, 200);
+  f1600_lanes(lanes);
+  std::memcpy(s->state, lanes, 200);
+  s->pos = 0;
+  s->pos_begin = 0;
+}
+
+void absorb(Strobe* s, const uint8_t* data, size_t len) {
+  for (size_t i = 0; i < len; ++i) {
+    s->state[s->pos] ^= data[i];
+    if (++s->pos == STROBE_R) run_f(s);
+  }
+}
+
+void overwrite(Strobe* s, const uint8_t* data, size_t len) {
+  for (size_t i = 0; i < len; ++i) {
+    s->state[s->pos] = data[i];
+    if (++s->pos == STROBE_R) run_f(s);
+  }
+}
+
+void squeeze(Strobe* s, uint8_t* out, size_t len) {
+  for (size_t i = 0; i < len; ++i) {
+    out[i] = s->state[s->pos];
+    s->state[s->pos] = 0;
+    if (++s->pos == STROBE_R) run_f(s);
+  }
+}
+
+void begin_op(Strobe* s, uint8_t flags, int more) {
+  if (more) return;  // flag consistency is the caller's contract
+  uint8_t hdr[2] = {s->pos_begin, flags};
+  s->pos_begin = s->pos + 1;
+  s->cur_flags = flags;
+  absorb(s, hdr, 2);
+  if ((flags & (FLAG_C | FLAG_K)) && s->pos != 0) run_f(s);
+}
+
+}  // namespace
+
+extern "C" {
+
+void keccak_f1600(uint8_t* state200) {
+  uint64_t lanes[25];
+  std::memcpy(lanes, state200, 200);
+  f1600_lanes(lanes);
+  std::memcpy(state200, lanes, 200);
+}
+
+// Strobe state blob layout: 200 bytes state + pos + pos_begin + cur_flags.
+const int strobe_sizeof = sizeof(Strobe);
+
+void strobe_init(Strobe* s, const uint8_t* label, size_t len) {
+  std::memset(s, 0, sizeof(Strobe));
+  const uint8_t init[6] = {1, STROBE_R + 2, 1, 0, 1, 96};
+  std::memcpy(s->state, init, 6);
+  std::memcpy(s->state + 6, "STROBEv1.0.2", 12);
+  uint64_t lanes[25];
+  std::memcpy(lanes, s->state, 200);
+  f1600_lanes(lanes);
+  std::memcpy(s->state, lanes, 200);
+  begin_op(s, FLAG_M | FLAG_A, 0);
+  absorb(s, label, len);
+}
+
+void strobe_meta_ad(Strobe* s, const uint8_t* data, size_t len, int more) {
+  begin_op(s, FLAG_M | FLAG_A, more);
+  absorb(s, data, len);
+}
+
+void strobe_ad(Strobe* s, const uint8_t* data, size_t len, int more) {
+  begin_op(s, FLAG_A, more);
+  absorb(s, data, len);
+}
+
+void strobe_prf(Strobe* s, uint8_t* out, size_t len, int more) {
+  begin_op(s, FLAG_I | FLAG_A | FLAG_C, more);
+  squeeze(s, out, len);
+}
+
+void strobe_key(Strobe* s, const uint8_t* data, size_t len, int more) {
+  begin_op(s, FLAG_A | FLAG_C, more);
+  overwrite(s, data, len);
+}
+
+}  // extern "C"
