@@ -16,6 +16,9 @@ from .core.scalar import Scalar
 from .core.ristretto import RistrettoPoint, RISTRETTO_BASEPOINT
 from .proofs.ipp import InnerProductProof
 from .proofs.rangeproof import RangeProof
+from .proofs.linear import LinearProof
+from .proofs import r1cs
+from . import range_proof_mpc
 
 __version__ = "0.1.0"
 
@@ -23,5 +26,5 @@ __all__ = [
     "ProofError", "MPCError", "R1CSError",
     "Transcript", "PedersenGens", "BulletproofGens", "BulletproofGensShare",
     "Scalar", "RistrettoPoint", "RISTRETTO_BASEPOINT",
-    "InnerProductProof", "RangeProof",
+    "InnerProductProof", "RangeProof", "LinearProof", "r1cs",
 ]

@@ -129,9 +129,18 @@ def compress(p: jnp.ndarray) -> jnp.ndarray:
     return F.canonicalize(s)
 
 
+# Jitted entry points for host-facing helpers: eager per-op dispatch through
+# the TPU tunnel costs ~10ms-0.5s per primitive, so anything called from
+# host code must go through jit.
+_compress_jit = jax.jit(lambda p: compress(p))
+_decompress_jit = jax.jit(lambda s: decompress(s))
+_from_uniform_jit = jax.jit(lambda lo, hi: add(elligator_map(lo), elligator_map(hi)))
+_is_identity_jit = jax.jit(lambda p: is_identity(p))
+
+
 def compress_to_bytes(p: jnp.ndarray) -> np.ndarray:
     """(N, 4, 20) -> (N, 32) uint8 on host."""
-    s = np.asarray(jax.device_get(compress(p)))
+    s = np.asarray(jax.device_get(_compress_jit(p)))
     return limbs_to_bytes(s.reshape(-1, NLIMBS))
 
 
@@ -166,7 +175,7 @@ def decompress_bytes(raw: np.ndarray):
     vals = [int.from_bytes(raw[i].tobytes(), "little") for i in range(raw.shape[0])]
     canonical = np.array([v < host_field.P and (v & 1) == 0 for v in vals])
     limbs = bytes_to_limbs(raw)
-    valid, pts = decompress(jnp.asarray(limbs))
+    valid, pts = _decompress_jit(jnp.asarray(limbs))
     return np.asarray(valid) & canonical, pts
 
 
@@ -197,7 +206,7 @@ def from_uniform_bytes(raw: np.ndarray) -> jnp.ndarray:
     # mask to 255 bits (limb 19 covers bits 247..259; bit 255 is its bit 8)
     lo[:, NLIMBS - 1] &= 0xFF
     hi[:, NLIMBS - 1] &= 0xFF
-    return add(elligator_map(jnp.asarray(lo)), elligator_map(jnp.asarray(hi)))
+    return _from_uniform_jit(jnp.asarray(lo), jnp.asarray(hi))
 
 
 def scalar_mul_shared(p: jnp.ndarray, k: int) -> jnp.ndarray:

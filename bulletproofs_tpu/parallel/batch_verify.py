@@ -99,7 +99,7 @@ class BatchVerifier:
         else:
             result = msm_mod.msm_limbs(all_points, all_scalars)
 
-        if not bool(np.asarray(jax.device_get(C.is_identity(result)))):
+        if not bool(np.asarray(jax.device_get(C._is_identity_jit(result)))):
             raise ProofError.verification()
 
 

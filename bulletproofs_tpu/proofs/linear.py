@@ -1,0 +1,215 @@
+"""Linear proof: lightweight inner-product variant (GHL'21 §E.3).
+
+Proves <a, b> = c where a is secret and b is public, with blinded folding
+rounds (fresh s_j, t_j blinding per round) and a Schnorr-style base case.
+Protocol, transcript schedule, and wire format match the reference
+(/root/reference/src/linear_proof.rs).  Note the verifier's L/R weighting
+is x_j / x_j^{-1} (the GHL'21 paper has them reversed; the reference
+documents this at linear_proof.rs:214-218), and the subset-product s-vector
+uses exponents in {0, 1}, not the Bulletproofs {-1, +1}.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..core.ristretto import RistrettoPoint, multiscalar_mul
+from ..core.scalar import Scalar, batch_invert
+from ..errors import ProofError
+from ..transcript import Transcript
+from ..utils.util import inner_product
+
+
+class LinearProof:
+    __slots__ = ("L_vec", "R_vec", "S", "a", "r")
+
+    def __init__(self, L_vec: List[bytes], R_vec: List[bytes], S: bytes,
+                 a: Scalar, r: Scalar):
+        self.L_vec = L_vec
+        self.R_vec = R_vec
+        self.S = S
+        self.a = a
+        self.r = r
+
+    @classmethod
+    def create(cls, transcript: Transcript, rng, C: bytes, r: Scalar,
+               a_vec: List[Scalar], b_vec: List[Scalar],
+               G_vec: List[RistrettoPoint], F: RistrettoPoint,
+               B: RistrettoPoint) -> "LinearProof":
+        """Prover (reference linear_proof.rs:40-162).  C is the compressed
+        commitment <a, G> + r*B; consumes a/b/G by in-place halving."""
+        n = len(b_vec)
+        if len(G_vec) != n:
+            raise ProofError.invalid_generators_length()
+        if len(a_vec) != n:
+            raise ProofError(ProofError.INVALID_INPUT_LENGTH)
+        if n == 0 or n & (n - 1):
+            raise ProofError(ProofError.INVALID_INPUT_LENGTH)
+
+        # Append all public data (reference :71-81)
+        transcript.innerproduct_domain_sep(n)
+        transcript.append_point(b"C", C)
+        for b_i in b_vec:
+            transcript.append_scalar(b"b_i", b_i)
+        for G_i in G_vec:
+            transcript.append_point(b"G_i", G_i.compress())
+        transcript.append_point(b"F", F.compress())
+        transcript.append_point(b"B", B.compress())
+
+        a, b, G = list(a_vec), list(b_vec), list(G_vec)
+        L_vec: List[bytes] = []
+        R_vec: List[bytes] = []
+
+        while n != 1:
+            n //= 2
+            a_L, a_R = a[:n], a[n:]
+            b_L, b_R = b[:n], b[n:]
+            G_L, G_R = G[:n], G[n:]
+
+            c_L = inner_product(a_L, b_R)
+            c_R = inner_product(a_R, b_L)
+
+            s_j = Scalar.random(rng)
+            t_j = Scalar.random(rng)
+
+            L = multiscalar_mul(a_L + [s_j, c_L], G_R + [B, F]).compress()
+            R = multiscalar_mul(a_R + [t_j, c_R], G_L + [B, F]).compress()
+
+            L_vec.append(L)
+            R_vec.append(R)
+            transcript.append_point(b"L", L)
+            transcript.append_point(b"R", R)
+
+            x_j = transcript.challenge_scalar(b"x_j")
+            x_j_inv = x_j.invert()
+
+            for i in range(n):
+                a_L[i] = a_L[i] + x_j_inv * a_R[i]
+                b_L[i] = b_L[i] + x_j * b_R[i]
+                G_L[i] = multiscalar_mul([Scalar.one(), x_j], [G_L[i], G_R[i]])
+            a, b, G = a_L, b_L, G_L
+            r = r + x_j * s_j + x_j_inv * t_j
+
+        s_star = Scalar.random(rng)
+        t_star = Scalar.random(rng)
+        S = (B.scalar_mul(t_star) + F.scalar_mul(s_star * b[0])
+             + G[0].scalar_mul(s_star)).compress()
+        transcript.append_point(b"S", S)
+
+        x_star = transcript.challenge_scalar(b"x_star")
+        return cls(L_vec, R_vec, S,
+                   a=s_star + x_star * a[0],
+                   r=t_star + x_star * r)
+
+    def verification_scalars(self, n: int, transcript: Transcript,
+                             b_vec: List[Scalar]):
+        """(challenges, inverses, b_0): folds b in place while replaying
+        (reference linear_proof.rs:251-290)."""
+        lg_n = len(self.L_vec)
+        if lg_n >= 32:
+            raise ProofError.verification()
+        if n != (1 << lg_n):
+            raise ProofError.verification()
+
+        b = list(b_vec)
+        n_mut = n
+        challenges = []
+        for L, R in zip(self.L_vec, self.R_vec):
+            transcript.validate_and_append_point(b"L", L)
+            transcript.validate_and_append_point(b"R", R)
+            x_j = transcript.challenge_scalar(b"x_j")
+            challenges.append(x_j)
+            n_mut //= 2
+            b = [b[i] + x_j * b[n_mut + i] for i in range(n_mut)]
+
+        challenges_inv = list(challenges)
+        batch_invert(challenges_inv)
+        return challenges, challenges_inv, b[0]
+
+    def subset_product(self, n: int, challenges: List[Scalar]) -> List[Scalar]:
+        """s_i with exponents in {0,1} (reference linear_proof.rs:292-314)."""
+        lg_n = len(self.L_vec)
+        s = [Scalar.one()]
+        for i in range(1, n):
+            lg_i = i.bit_length() - 1
+            k = 1 << lg_i
+            s.append(s[i - k] * challenges[(lg_n - 1) - lg_i])
+        return s
+
+    def verify(self, transcript: Transcript, C: bytes,
+               G: List[RistrettoPoint], F: RistrettoPoint, B: RistrettoPoint,
+               b_vec: List[Scalar]) -> None:
+        """Verifier (reference linear_proof.rs:164-249); raises on failure."""
+        n = len(b_vec)
+        if len(G) != n:
+            raise ProofError.invalid_generators_length()
+
+        transcript.innerproduct_domain_sep(n)
+        transcript.append_point(b"C", C)
+        for b_i in b_vec:
+            transcript.append_scalar(b"b_i", b_i)
+        for G_i in G:
+            transcript.append_point(b"G_i", G_i.compress())
+        transcript.append_point(b"F", F.compress())
+        transcript.append_point(b"B", B.compress())
+
+        x_vec, x_inv_vec, b_0 = self.verification_scalars(n, transcript, b_vec)
+        transcript.append_point(b"S", self.S)
+        x_star = transcript.challenge_scalar(b"x_star")
+
+        Ls = [RistrettoPoint.decompress(p) for p in self.L_vec]
+        Rs = [RistrettoPoint.decompress(p) for p in self.R_vec]
+        if any(p is None for p in Ls + Rs):
+            raise ProofError.verification()
+
+        L_R_factors = multiscalar_mul(x_vec + x_inv_vec, Ls + Rs)
+        s = self.subset_product(n, x_vec)
+        G_0 = multiscalar_mul(s, G)
+
+        S = RistrettoPoint.decompress(self.S)
+        C_pt = RistrettoPoint.decompress(C)
+        if S is None or C_pt is None:
+            raise ProofError.verification()
+
+        expect_S = (B.scalar_mul(self.r) + F.scalar_mul(self.a * b_0)
+                    - (C_pt + L_R_factors).scalar_mul(x_star)
+                    + G_0.scalar_mul(self.a))
+        if not (expect_S == S):
+            raise ProofError.verification()
+
+    # -- serialization (reference linear_proof.rs:316-407) ------------------
+    def serialized_size(self) -> int:
+        return (len(self.L_vec) * 2 + 3) * 32
+
+    def to_bytes(self) -> bytes:
+        buf = bytearray()
+        for l, r in zip(self.L_vec, self.R_vec):
+            buf += l
+            buf += r
+        buf += self.S
+        buf += self.a.to_bytes()
+        buf += self.r.to_bytes()
+        return bytes(buf)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "LinearProof":
+        if len(data) % 32 != 0:
+            raise ProofError.format()
+        num_elements = len(data) // 32
+        if num_elements < 3 or (num_elements - 3) % 2 != 0:
+            raise ProofError.format()
+        lg_n = (num_elements - 3) // 2
+        if lg_n >= 32:
+            raise ProofError.format()
+        L_vec, R_vec = [], []
+        for i in range(lg_n):
+            pos = 2 * i * 32
+            L_vec.append(data[pos: pos + 32])
+            R_vec.append(data[pos + 32: pos + 64])
+        pos = 2 * lg_n * 32
+        S = data[pos: pos + 32]
+        a = Scalar.from_canonical_bytes(data[pos + 32: pos + 64])
+        r = Scalar.from_canonical_bytes(data[pos + 64: pos + 96])
+        if a is None or r is None:
+            raise ProofError.format()
+        return cls(L_vec, R_vec, S, a, r)

@@ -113,3 +113,102 @@ class ProofShare:
             [V_j, poly_commitment.T_1_j, poly_commitment.T_2_j,
              pc_gens.B, pc_gens.B_blinding])
         return t_check.is_identity()
+
+
+# ---------------------------------------------------------------------------
+# Wire codecs: bincode-compatible framing (fixed 32-byte points/scalars;
+# u64-LE length prefixes for vectors), matching how the reference's
+# serde-derived messages serialize under bincode (tests/range_proof.rs uses
+# bincode for proofs; messages.rs:17-53 derives Serialize/Deserialize).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _point_bytes(p: RistrettoPoint) -> bytes:
+    return p.compress()
+
+
+def _read_point(data: bytes, off: int):
+    p = RistrettoPoint.decompress(data[off:off + 32])
+    if p is None:
+        raise ValueError("invalid point encoding")
+    return p, off + 32
+
+
+def _read_scalar(data: bytes, off: int):
+    s = Scalar.from_canonical_bytes(data[off:off + 32])
+    if s is None:
+        raise ValueError("invalid scalar encoding")
+    return s, off + 32
+
+
+def bit_commitment_to_bytes(m: BitCommitment) -> bytes:
+    return m.V_j + _point_bytes(m.A_j) + _point_bytes(m.S_j)
+
+
+def bit_commitment_from_bytes(data: bytes) -> BitCommitment:
+    A, off = _read_point(data, 32)
+    S, off = _read_point(data, off)
+    return BitCommitment(V_j=data[:32], A_j=A, S_j=S)
+
+
+def bit_challenge_to_bytes(m: BitChallenge) -> bytes:
+    return m.y.to_bytes() + m.z.to_bytes()
+
+
+def bit_challenge_from_bytes(data: bytes) -> BitChallenge:
+    y, off = _read_scalar(data, 0)
+    z, off = _read_scalar(data, off)
+    return BitChallenge(y=y, z=z)
+
+
+def poly_commitment_to_bytes(m: PolyCommitment) -> bytes:
+    return _point_bytes(m.T_1_j) + _point_bytes(m.T_2_j)
+
+
+def poly_commitment_from_bytes(data: bytes) -> PolyCommitment:
+    T1, off = _read_point(data, 0)
+    T2, off = _read_point(data, off)
+    return PolyCommitment(T_1_j=T1, T_2_j=T2)
+
+
+def poly_challenge_to_bytes(m: PolyChallenge) -> bytes:
+    return m.x.to_bytes()
+
+
+def poly_challenge_from_bytes(data: bytes) -> PolyChallenge:
+    x, _ = _read_scalar(data, 0)
+    return PolyChallenge(x=x)
+
+
+def proof_share_to_bytes(m: ProofShare) -> bytes:
+    buf = bytearray()
+    buf += m.t_x.to_bytes() + m.t_x_blinding.to_bytes() + m.e_blinding.to_bytes()
+    buf += _struct.pack("<Q", len(m.l_vec))
+    for s in m.l_vec:
+        buf += s.to_bytes()
+    buf += _struct.pack("<Q", len(m.r_vec))
+    for s in m.r_vec:
+        buf += s.to_bytes()
+    return bytes(buf)
+
+
+def proof_share_from_bytes(data: bytes) -> ProofShare:
+    t_x, off = _read_scalar(data, 0)
+    t_x_blinding, off = _read_scalar(data, off)
+    e_blinding, off = _read_scalar(data, off)
+    (n,) = _struct.unpack_from("<Q", data, off)
+    off += 8
+    l_vec = []
+    for _ in range(n):
+        s, off = _read_scalar(data, off)
+        l_vec.append(s)
+    (n,) = _struct.unpack_from("<Q", data, off)
+    off += 8
+    r_vec = []
+    for _ in range(n):
+        s, off = _read_scalar(data, off)
+        r_vec.append(s)
+    return ProofShare(t_x=t_x, t_x_blinding=t_x_blinding, e_blinding=e_blinding,
+                      l_vec=l_vec, r_vec=r_vec)

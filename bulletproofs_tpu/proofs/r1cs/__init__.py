@@ -1,0 +1,23 @@
+"""R1CS constraint-system proofs (the reference's `yoloproofs` feature).
+
+Prove arbitrary rank-1 constraint systems over committed values, with the
+two-phase randomized-constraint protocol (challenges bound to first-phase
+commitments).  API mirrors the reference's src/r1cs/ module: gadget
+functions build constraints against a ConstraintSystem, the Prover/Verifier
+consume themselves to produce/check an R1CSProof built on the shared
+inner-product argument.
+"""
+
+from .linear_combination import Variable, LinearCombination
+from .constraint_system import (ConstraintSystem, RandomizableConstraintSystem,
+                                RandomizedConstraintSystem)
+from .proof import R1CSProof
+from .prover import Prover, RandomizingProver
+from .verifier import Verifier, RandomizingVerifier
+
+__all__ = [
+    "Variable", "LinearCombination", "ConstraintSystem",
+    "RandomizableConstraintSystem", "RandomizedConstraintSystem",
+    "R1CSProof", "Prover", "RandomizingProver", "Verifier",
+    "RandomizingVerifier",
+]

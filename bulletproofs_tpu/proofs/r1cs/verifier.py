@@ -1,0 +1,272 @@
+"""R1CS verifier (reference src/r1cs/verifier.rs).
+
+Mirror of the prover without witness data: builds the same constraints
+symbolically (num_vars counter), flattens with the constant term wc, then
+checks everything in one mega-MSM with a transcript-RNG batching scalar r.
+The MSM accepts an injectable `msm` callable for the device path.
+"""
+
+from __future__ import annotations
+
+import secrets
+from typing import Callable, List, Optional, Tuple
+
+from ...core.ristretto import RistrettoPoint, multiscalar_mul
+from ...core.scalar import Scalar
+from ...errors import R1CSError
+from ...generators import BulletproofGens, PedersenGens
+from ...transcript import Transcript
+from ...utils.util import exp_iter_take, inner_product
+from .constraint_system import (RandomizableConstraintSystem,
+                                RandomizedConstraintSystem)
+from .linear_combination import LinearCombination, Variable, to_lc
+from .proof import R1CSProof
+
+
+class _SysRandom:
+    @staticmethod
+    def randbytes(n):
+        return secrets.token_bytes(n)
+
+
+class Verifier(RandomizableConstraintSystem):
+    def __init__(self, transcript: Transcript):
+        transcript.r1cs_domain_sep()
+        self._transcript = transcript
+        self.constraints: List[LinearCombination] = []
+        self.num_vars = 0
+        self.V: List[bytes] = []
+        self.deferred_constraints: List[Callable] = []
+        self.pending_multiplier: Optional[int] = None
+
+    # -- ConstraintSystem ----------------------------------------------------
+    def transcript(self) -> Transcript:
+        return self._transcript
+
+    def multiply(self, left, right) -> Tuple[Variable, Variable, Variable]:
+        left = to_lc(left)
+        right = to_lc(right)
+        var = self.num_vars
+        self.num_vars += 1
+        l_var = Variable.multiplier_left(var)
+        r_var = Variable.multiplier_right(var)
+        o_var = Variable.multiplier_output(var)
+        self.constrain(left + LinearCombination([(l_var, -Scalar.one())]))
+        self.constrain(right + LinearCombination([(r_var, -Scalar.one())]))
+        return l_var, r_var, o_var
+
+    def allocate(self, assignment=None) -> Variable:
+        if self.pending_multiplier is None:
+            i = self.num_vars
+            self.num_vars += 1
+            self.pending_multiplier = i
+            return Variable.multiplier_left(i)
+        i = self.pending_multiplier
+        self.pending_multiplier = None
+        return Variable.multiplier_right(i)
+
+    def allocate_multiplier(self, input_assignments=None):
+        var = self.num_vars
+        self.num_vars += 1
+        return (Variable.multiplier_left(var), Variable.multiplier_right(var),
+                Variable.multiplier_output(var))
+
+    def multipliers_len(self) -> int:
+        return self.num_vars
+
+    def constrain(self, lc) -> None:
+        self.constraints.append(to_lc(lc))
+
+    def specify_randomized_constraints(self, callback: Callable) -> None:
+        self.deferred_constraints.append(callback)
+
+    # -- verifier-specific ---------------------------------------------------
+    def commit(self, commitment: bytes) -> Variable:
+        i = len(self.V)
+        self.V.append(commitment)
+        self._transcript.append_point(b"V", commitment)
+        return Variable.committed(i)
+
+    def flattened_constraints(self, z: Scalar):
+        """Like the prover's, plus the constant term wc
+        (reference verifier.rs:260-298)."""
+        n = self.num_vars
+        m = len(self.V)
+        wL = [Scalar.zero()] * n
+        wR = [Scalar.zero()] * n
+        wO = [Scalar.zero()] * n
+        wV = [Scalar.zero()] * m
+        wc = Scalar.zero()
+
+        exp_z = z
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                if var.is_multiplier_left():
+                    wL[var.index] = wL[var.index] + exp_z * coeff
+                elif var.is_multiplier_right():
+                    wR[var.index] = wR[var.index] + exp_z * coeff
+                elif var.is_multiplier_output():
+                    wO[var.index] = wO[var.index] + exp_z * coeff
+                elif var.is_committed():
+                    wV[var.index] = wV[var.index] - exp_z * coeff
+                else:
+                    wc = wc - exp_z * coeff
+            exp_z = exp_z * z
+        return wL, wR, wO, wV, wc
+
+    def _create_randomized_constraints(self) -> None:
+        self.pending_multiplier = None
+        if not self.deferred_constraints:
+            self._transcript.r1cs_1phase_domain_sep()
+            return
+        self._transcript.r1cs_2phase_domain_sep()
+        callbacks = self.deferred_constraints
+        self.deferred_constraints = []
+        wrapped = RandomizingVerifier(self)
+        for cb in callbacks:
+            cb(wrapped)
+
+    def verify(self, proof: R1CSProof, pc_gens: PedersenGens,
+               bp_gens: BulletproofGens, rng=None, msm=None) -> None:
+        rng = rng or _SysRandom()
+        msm = msm or multiscalar_mul
+        transcript = self._transcript
+
+        transcript.append_u64(b"m", len(self.V))
+
+        n1 = self.num_vars
+        try:
+            transcript.validate_and_append_point(b"A_I1", proof.A_I1)
+            transcript.validate_and_append_point(b"A_O1", proof.A_O1)
+            transcript.validate_and_append_point(b"S1", proof.S1)
+        except Exception:
+            raise R1CSError(R1CSError.VERIFICATION)
+
+        self._create_randomized_constraints()
+
+        n = self.num_vars
+        n2 = n - n1
+        padded_n = 1 if n == 0 else 1 << (n - 1).bit_length()
+        pad = padded_n - n
+        if bp_gens.gens_capacity < padded_n:
+            raise R1CSError(R1CSError.INVALID_GENERATORS_LENGTH)
+        gens = bp_gens.share(0)
+
+        transcript.append_point(b"A_I2", proof.A_I2)
+        transcript.append_point(b"A_O2", proof.A_O2)
+        transcript.append_point(b"S2", proof.S2)
+
+        y = transcript.challenge_scalar(b"y")
+        z = transcript.challenge_scalar(b"z")
+
+        try:
+            transcript.validate_and_append_point(b"T_1", proof.T_1)
+            transcript.validate_and_append_point(b"T_3", proof.T_3)
+            transcript.validate_and_append_point(b"T_4", proof.T_4)
+            transcript.validate_and_append_point(b"T_5", proof.T_5)
+            transcript.validate_and_append_point(b"T_6", proof.T_6)
+        except Exception:
+            raise R1CSError(R1CSError.VERIFICATION)
+
+        u = transcript.challenge_scalar(b"u")
+        x = transcript.challenge_scalar(b"x")
+
+        transcript.append_scalar(b"t_x", proof.t_x)
+        transcript.append_scalar(b"t_x_blinding", proof.t_x_blinding)
+        transcript.append_scalar(b"e_blinding", proof.e_blinding)
+
+        w = transcript.challenge_scalar(b"w")
+
+        wL, wR, wO, wV, wc = self.flattened_constraints(z)
+
+        try:
+            u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(
+                padded_n, transcript)
+        except Exception:
+            raise R1CSError(R1CSError.VERIFICATION)
+
+        a = proof.ipp_proof.a
+        b = proof.ipp_proof.b
+
+        y_inv = y.invert()
+        y_inv_vec = exp_iter_take(y_inv, padded_n)
+        yneg_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] + [Scalar.zero()] * pad
+
+        delta = inner_product(yneg_wR[:n], wL)
+
+        u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
+
+        g_scalars = [ui * (x * ywr - a * si)
+                     for ywr, ui, si in zip(yneg_wR, u_or_1, s)]
+        wL_pad = wL + [Scalar.zero()] * pad
+        wO_pad = wO + [Scalar.zero()] * pad
+        s_rev = list(reversed(s))
+        h_scalars = [ui * (yi * (x * wLi + wOi - b * s_inv) - Scalar.one())
+                     for yi, ui, s_inv, wLi, wOi
+                     in zip(y_inv_vec, u_or_1, s_rev, wL_pad, wO_pad)]
+
+        # transcript-RNG batching scalar (no witness; external entropy only)
+        det_rng = transcript.build_rng().finalize(rng)
+        r = Scalar.random(det_rng)
+
+        xx = x * x
+        rxx = r * xx
+        xxx = x * xx
+
+        T_scalars = [r * x, rxx * x, rxx * xx, rxx * xxx, rxx * xx * xx]
+        T_points = [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
+
+        scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
+                   + [wVi * rxx for wVi in wV]
+                   + T_scalars
+                   + [w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)]
+                   + [-proof.e_blinding - r * proof.t_x_blinding]
+                   + g_scalars + h_scalars
+                   + u_sq + u_inv_sq)
+
+        compressed = ([proof.A_I1, proof.A_O1, proof.S1,
+                       proof.A_I2, proof.A_O2, proof.S2]
+                      + self.V + T_points)
+        dyn = [RistrettoPoint.decompress(p) for p in compressed]
+        if any(p is None for p in dyn):
+            raise R1CSError(R1CSError.VERIFICATION)
+        Ls = [RistrettoPoint.decompress(p) for p in proof.ipp_proof.L_vec]
+        Rs = [RistrettoPoint.decompress(p) for p in proof.ipp_proof.R_vec]
+        if any(p is None for p in Ls + Rs):
+            raise R1CSError(R1CSError.VERIFICATION)
+
+        points = (dyn + [pc_gens.B, pc_gens.B_blinding]
+                  + gens.G(padded_n) + gens.H(padded_n) + Ls + Rs)
+
+        mega_check = msm(scalars, points)
+        if not mega_check.is_identity():
+            raise R1CSError(R1CSError.VERIFICATION)
+
+
+class RandomizingVerifier(RandomizedConstraintSystem):
+    """Verifier wrapper for the randomization phase
+    (reference verifier.rs:52-58)."""
+
+    def __init__(self, verifier: Verifier):
+        self.verifier = verifier
+
+    def transcript(self):
+        return self.verifier._transcript
+
+    def multiply(self, left, right):
+        return self.verifier.multiply(left, right)
+
+    def allocate(self, assignment=None):
+        return self.verifier.allocate(assignment)
+
+    def allocate_multiplier(self, input_assignments=None):
+        return self.verifier.allocate_multiplier(input_assignments)
+
+    def multipliers_len(self):
+        return self.verifier.multipliers_len()
+
+    def constrain(self, lc):
+        self.verifier.constrain(lc)
+
+    def challenge_scalar(self, label: bytes) -> Scalar:
+        return self.verifier._transcript.challenge_scalar(label)

@@ -1,0 +1,60 @@
+"""Linear proof tests (mirrors reference src/linear_proof.rs:409-488)."""
+
+import pytest
+
+from bulletproofs_tpu.core.ristretto import RistrettoPoint, multiscalar_mul
+from bulletproofs_tpu.core.scalar import Scalar
+from bulletproofs_tpu.generators import BulletproofGens, PedersenGens
+from bulletproofs_tpu.proofs.linear import LinearProof
+from bulletproofs_tpu.transcript import Transcript
+from bulletproofs_tpu.errors import ProofError
+
+
+def _linear_helper(n, rng):
+    bp_gens = BulletproofGens(n, 1)
+    G = bp_gens.share(0).G(n)
+    pc = PedersenGens()
+    F, B = pc.B, pc.B_blinding
+
+    a = [Scalar.random(rng) for _ in range(n)]
+    b = [Scalar.random(rng) for _ in range(n)]
+    r = Scalar.random(rng)
+    # C = <a, G> + r*B + <a,b>*F  (commitment to secret vector AND the value)
+    from bulletproofs_tpu.utils.util import inner_product
+    c = inner_product(a, b)
+    C = multiscalar_mul(a + [r, c], G + [B, F]).compress()
+
+    t = Transcript(b"linearprooftest")
+    proof = LinearProof.create(t, rng, C, r, list(a), list(b), list(G), F, B)
+
+    t2 = Transcript(b"linearprooftest")
+    proof.verify(t2, C, G, F, B, list(b))
+
+    # serde roundtrip
+    proof2 = LinearProof.from_bytes(proof.to_bytes())
+    assert len(proof.to_bytes()) == proof.serialized_size()
+    t3 = Transcript(b"linearprooftest")
+    proof2.verify(t3, C, F=F, B=B, G=G, b_vec=list(b))
+    return proof, C, G, F, B, b
+
+
+@pytest.mark.parametrize("n", [1, 16, 32, 64])
+def test_linear_roundtrip(n, rng):
+    _linear_helper(n, rng)
+
+
+def test_linear_rejects_wrong_b(rng):
+    proof, C, G, F, B, b = _linear_helper(16, rng)
+    bad_b = list(b)
+    bad_b[3] = bad_b[3] + Scalar.one()
+    t = Transcript(b"linearprooftest")
+    with pytest.raises(ProofError):
+        proof.verify(t, C, G, F, B, bad_b)
+
+
+def test_linear_rejects_wrong_commitment(rng):
+    proof, C, G, F, B, b = _linear_helper(16, rng)
+    bad_C = multiscalar_mul([Scalar(7)], [F]).compress()
+    t = Transcript(b"linearprooftest")
+    with pytest.raises(ProofError):
+        proof.verify(t, bad_C, G, F, B, list(b))

@@ -1,0 +1,218 @@
+"""R1CS gadget tests (mirrors reference tests/r1cs.rs).
+
+Three gadgets exercise the API the same way the reference's suite does:
+a k-shuffle (two-phase randomized constraints), an example arithmetic
+gadget with positive/negative cases and serialization, and a
+bit-decomposition range gadget including out-of-range rejection.
+"""
+
+import random
+
+import pytest
+
+from bulletproofs_tpu import BulletproofGens, PedersenGens, Transcript, Scalar
+from bulletproofs_tpu.core.scalar import L
+from bulletproofs_tpu.errors import R1CSError
+from bulletproofs_tpu.proofs.r1cs import (Prover, Verifier, R1CSProof,
+                                          LinearCombination, Variable)
+
+PC = PedersenGens()
+BP = BulletproofGens(128, 1)
+
+
+# ---------------------------------------------------------------------------
+# k-shuffle gadget (reference tests/r1cs.rs:22-144): proves y is a
+# permutation of x, using a randomized challenge z and the product trick
+#   prod(x_i - z) == prod(y_i - z)
+# ---------------------------------------------------------------------------
+
+def shuffle_gadget(cs, x, y):
+    assert len(x) == len(y)
+    k = len(x)
+    if k == 1:
+        cs.constrain(y[0] - x[0])
+        return
+
+    def randomized(cs2):
+        z = cs2.challenge_scalar(b"shuffle challenge")
+        # last x multiplier
+        _, _, last_mulx_out = cs2.multiply(x[k - 1] - z, x[k - 2] - z)
+        first_mulx_out = last_mulx_out
+        for i in range(k - 3, -1, -1):
+            _, _, first_mulx_out = cs2.multiply(first_mulx_out, x[i] - z)
+        _, _, last_muly_out = cs2.multiply(y[k - 1] - z, y[k - 2] - z)
+        first_muly_out = last_muly_out
+        for i in range(k - 3, -1, -1):
+            _, _, first_muly_out = cs2.multiply(first_muly_out, y[i] - z)
+        cs2.constrain(first_mulx_out - first_muly_out)
+
+    cs.specify_randomized_constraints(randomized)
+
+
+def shuffle_proof_roundtrip(k, rng, tamper=False):
+    rr = random.Random(k)
+    inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
+    outputs = list(inputs)
+    rr.shuffle(outputs)
+    if tamper:
+        outputs[0] = outputs[0] + Scalar.one()
+
+    # prove
+    t = Transcript(b"ShuffleProofTest")
+    prover = Prover(PC, t)
+    in_pairs = [prover.commit(v, Scalar.random(rng)) for v in inputs]
+    out_pairs = [prover.commit(v, Scalar.random(rng)) for v in outputs]
+    in_vars = [v for _, v in in_pairs]
+    out_vars = [v for _, v in out_pairs]
+    shuffle_gadget(prover, in_vars, out_vars)
+    proof = prover.prove(BP, rng=rng)
+
+    in_commitments = [c for c, _ in in_pairs]
+    out_commitments = [c for c, _ in out_pairs]
+
+    # verify
+    t2 = Transcript(b"ShuffleProofTest")
+    verifier = Verifier(t2)
+    in_vars = [verifier.commit(c) for c in in_commitments]
+    out_vars = [verifier.commit(c) for c in out_commitments]
+    shuffle_gadget(verifier, in_vars, out_vars)
+    verifier.verify(proof, PC, BP, rng=rng)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6, 7])
+def test_shuffle_gadget(k, rng):
+    shuffle_proof_roundtrip(k, rng)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [24, 42])
+def test_shuffle_gadget_larger(k, rng):
+    shuffle_proof_roundtrip(k, rng)
+
+
+def test_shuffle_gadget_rejects_non_permutation(rng):
+    with pytest.raises(R1CSError):
+        shuffle_proof_roundtrip(4, rng, tamper=True)
+
+
+# ---------------------------------------------------------------------------
+# example gadget (reference tests/r1cs.rs:226-364):
+# proves (a1 + a2) * (b1 + b2) == c1 + c2
+# ---------------------------------------------------------------------------
+
+def example_gadget(cs, a1, a2, b1, b2, c1, c2):
+    _, _, c_var = cs.multiply(a1 + a2, b1 + b2)
+    cs.constrain(c1 + c2 - c_var)
+
+
+def example_gadget_roundtrip(a1, a2, b1, b2, c1, c2, rng):
+    # prove
+    t = Transcript(b"R1CSExampleGadget")
+    prover = Prover(PC, t)
+    values = [Scalar(x) for x in (a1, a2, b1, b2, c1)]
+    pairs = [prover.commit(v, Scalar.random(rng)) for v in values]
+    vars_ = [v for _, v in pairs]
+    example_gadget(prover, *vars_, Scalar(c2))
+    proof = prover.prove(BP, rng=rng)
+    commitments = [c for c, _ in pairs]
+
+    # serialization roundtrip
+    proof = R1CSProof.from_bytes(proof.to_bytes())
+
+    # verify
+    t2 = Transcript(b"R1CSExampleGadget")
+    verifier = Verifier(t2)
+    vars_ = [verifier.commit(c) for c in commitments]
+    example_gadget(verifier, *vars_, Scalar(c2))
+    verifier.verify(proof, PC, BP, rng=rng)
+
+
+def test_example_gadget_positive(rng):
+    # (3 + 4) * (6 + 1) = (40 + 9)
+    example_gadget_roundtrip(3, 4, 6, 1, 40, 9, rng)
+
+
+def test_example_gadget_negative(rng):
+    # (3 + 4) * (6 + 1) != (40 + 10)
+    with pytest.raises(R1CSError):
+        example_gadget_roundtrip(3, 4, 6, 1, 40, 10, rng)
+
+
+def test_example_gadget_one_phase_wire_format(rng):
+    """No randomized constraints -> phase-2 commitments omitted on the wire
+    (version byte 0, reference proof.rs:15-16,83-124)."""
+    t = Transcript(b"R1CSExampleGadget")
+    prover = Prover(PC, t)
+    pairs = [prover.commit(Scalar(x), Scalar.random(rng)) for x in (3, 4, 6, 1, 40)]
+    example_gadget(prover, *[v for _, v in pairs], Scalar(9))
+    proof = prover.prove(BP, rng=rng)
+    wire = proof.to_bytes()
+    assert wire[0] == 0  # one-phase tag
+    assert proof.missing_phase2_commitments()
+    assert len(wire) == proof.serialized_size()
+
+
+# ---------------------------------------------------------------------------
+# range-proof gadget (reference tests/r1cs.rs:369-453)
+# ---------------------------------------------------------------------------
+
+def range_proof_gadget(cs, v_var, v_assignment, n):
+    """Constrain v in [0, 2^n) via bit decomposition."""
+    exp_2 = Scalar.one()
+    v_lc = LinearCombination.from_value(v_var)
+    for i in range(n):
+        if v_assignment is not None:
+            bit = (v_assignment >> i) & 1
+            a, b, o = cs.allocate_multiplier((Scalar(1 - bit), Scalar(bit)))
+        else:
+            a, b, o = cs.allocate_multiplier(None)
+        # b * (1 - b) = 0  <=>  a * b = 0 with a = 1 - b
+        cs.constrain(o.to_lc())
+        cs.constrain(a + (b - 1))
+        v_lc = v_lc - b * exp_2
+        exp_2 = exp_2 + exp_2
+    cs.constrain(v_lc)
+
+
+def range_proof_roundtrip(v, n, rng):
+    t = Transcript(b"RangeProofGadget")
+    prover = Prover(PC, t)
+    com, var = prover.commit(Scalar(v), Scalar.random(rng))
+    range_proof_gadget(prover, var, v, n)
+    proof = prover.prove(BP, rng=rng)
+
+    t2 = Transcript(b"RangeProofGadget")
+    verifier = Verifier(t2)
+    var = verifier.commit(com)
+    range_proof_gadget(verifier, var, None, n)
+    verifier.verify(proof, PC, BP, rng=rng)
+
+
+@pytest.mark.parametrize("n", [2, 10, 32, 63])
+def test_range_proof_gadget_in_range(n, rng):
+    rr = random.Random(n)
+    for _ in range(2):
+        v = rr.randrange(2 ** n)
+        range_proof_roundtrip(v, n, rng)
+
+
+def test_range_proof_gadget_out_of_range(rng):
+    # max + 1 is out of range: the prover's truncated bit witness can't satisfy
+    with pytest.raises(R1CSError):
+        range_proof_roundtrip(2 ** 16, 16, rng)
+
+
+def test_verifier_allocate_without_assignment(rng):
+    """The verifier's allocate path never needs assignments."""
+    t = Transcript(b"alloc test")
+    verifier = Verifier(t)
+    a = verifier.allocate()
+    b = verifier.allocate()
+    assert a.is_multiplier_left() and b.is_multiplier_right()
+
+
+def test_prover_allocate_missing_assignment_errors():
+    t = Transcript(b"alloc test")
+    prover = Prover(PC, t)
+    with pytest.raises(R1CSError):
+        prover.allocate(None)
