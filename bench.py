@@ -44,7 +44,7 @@ def main():
 
     n = 64
     n_distinct = 8
-    batch = 256
+    batch = 512
     rng = Rng()
 
     t0 = time.time()
@@ -81,6 +81,12 @@ def main():
     dt = (time.time() - t0) / iters
     rate = batch / dt
     log(f"batch of {batch}: {dt*1000:.0f} ms -> {rate:.0f} verifications/s")
+
+    # stage breakdown (host prep vs device) for the log
+    t0 = time.time()
+    for p, v, l in zip(all_proofs, all_vcss, all_labels):
+        p.verification_scalars_ints(bp_gens, pc_gens, Transcript(l), v, n, rng=rng)
+    log(f"  host prep alone: {(time.time()-t0)*1000:.0f} ms for {batch}")
 
     # secondary metric: raw MSM points/s at 2^16 (stderr only)
     try:

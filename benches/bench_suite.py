@@ -1,0 +1,203 @@
+"""Benchmark sweeps mirroring the reference's criterion configuration
+(SURVEY.md §6: benches/range_proof.rs, generators.rs, linear_proof.rs,
+r1cs.rs).
+
+Usage:
+    python benches/bench_suite.py [rangeproof|generators|linear|r1cs|batch|msm]
+
+Prints one human-readable line per config and writes JSON results to
+benches/results.json.  Unlike bench.py (the driver's single-number bench),
+this is the full sweep for tracking regressions.
+"""
+
+import json
+import os
+import secrets
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = []
+
+
+class Rng:
+    randbytes = staticmethod(secrets.token_bytes)
+
+
+def record(name, config, seconds):
+    RESULTS.append({"bench": name, "config": config, "seconds": seconds})
+    print(f"{name:40s} {config:24s} {seconds*1e3:10.2f} ms")
+
+
+def timeit(fn, reps=3):
+    fn()  # warm-up
+    t0 = time.time()
+    for _ in range(reps):
+        fn()
+    return (time.time() - t0) / reps
+
+
+def bench_rangeproof():
+    """prove/verify n in {8..64} x m in {1,2,4,8,16,32}
+    (reference benches/range_proof.rs:16)."""
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, RangeProof, Transcript, Scalar
+    rng = Rng()
+    pc = PedersenGens()
+    bp = BulletproofGens(64, 32)
+    for n in (8, 64):
+        for m in (1, 8, 16):
+            values = [secrets.randbelow(2 ** n) for _ in range(m)]
+            blindings = [Scalar.random(rng) for _ in range(m)]
+
+            def prove():
+                t = Transcript(b"AggregateRangeProofBenchmark")
+                return RangeProof.prove_multiple(bp, pc, t, values, blindings, n, rng=rng)
+
+            dt = timeit(prove, reps=1)
+            record("aggregated rangeproof creation", f"n={n} m={m}", dt)
+
+            proof, vcs = prove()
+
+            def verify():
+                t = Transcript(b"AggregateRangeProofBenchmark")
+                proof.verify_multiple(bp, pc, t, vcs, n, rng=rng)
+
+            dt = timeit(verify, reps=1)
+            record("aggregated rangeproof verification", f"n={n} m={m}", dt)
+
+
+def bench_generators():
+    """BulletproofGens sizes (reference benches/generators.rs:7-17)."""
+    from bulletproofs_tpu import BulletproofGens, PedersenGens
+    for size in (2, 64, 256, 1024):
+        dt = timeit(lambda: BulletproofGens(size, 1), reps=1)
+        record("bp_gens", f"size={size}", dt)
+    dt = timeit(lambda: PedersenGens(), reps=3)
+    record("pc_gens", "", dt)
+
+
+def bench_linear():
+    """LinearProof n in {64..1024} (reference benches/linear_proof.rs:22)."""
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, Transcript, Scalar, LinearProof
+    from bulletproofs_tpu.core.ristretto import multiscalar_mul
+    from bulletproofs_tpu.utils.util import inner_product
+    rng = Rng()
+    pc = PedersenGens()
+    for n in (64, 256, 1024):
+        bp = BulletproofGens(n, 1)
+        G = bp.share(0).G(n)
+        a = [Scalar.random(rng) for _ in range(n)]
+        b = [Scalar.random(rng) for _ in range(n)]
+        r = Scalar.random(rng)
+        c = inner_product(a, b)
+        C = multiscalar_mul(a + [r, c], G + [pc.B_blinding, pc.B]).compress()
+
+        def prove():
+            return LinearProof.create(Transcript(b"linear proof"), rng, C, r,
+                                      list(a), list(b), list(G), pc.B, pc.B_blinding)
+
+        dt = timeit(prove, reps=1)
+        record("linear proof creation", f"n={n}", dt)
+        proof = prove()
+
+        def verify():
+            proof.verify(Transcript(b"linear proof"), C, G, pc.B, pc.B_blinding, list(b))
+
+        dt = timeit(verify, reps=1)
+        record("linear proof verification", f"n={n}", dt)
+
+
+def bench_r1cs():
+    """k-shuffle prove/verify (reference benches/r1cs.rs:162-260)."""
+    import random
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, Transcript, Scalar
+    from bulletproofs_tpu.proofs.r1cs import Prover, Verifier
+    from bulletproofs_tpu.core.scalar import L
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_r1cs import shuffle_gadget
+    rng = Rng()
+    pc = PedersenGens()
+    for k in (8, 64, 256):
+        bp = BulletproofGens(2 * k, 1)
+        rr = random.Random(k)
+        inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
+        outputs = list(inputs)
+        rr.shuffle(outputs)
+
+        def prove():
+            t = Transcript(b"ShuffleProofBench")
+            p = Prover(pc, t)
+            in_pairs = [p.commit(v, Scalar.random(rng)) for v in inputs]
+            out_pairs = [p.commit(v, Scalar.random(rng)) for v in outputs]
+            shuffle_gadget(p, [v for _, v in in_pairs], [v for _, v in out_pairs])
+            return p.prove(bp, rng=rng), [c for c, _ in in_pairs], [c for c, _ in out_pairs]
+
+        dt = timeit(prove, reps=1)
+        record("k-shuffle proof creation", f"k={k}", dt)
+        proof, ins, outs = prove()
+
+        def verify():
+            t = Transcript(b"ShuffleProofBench")
+            v = Verifier(t)
+            iv = [v.commit(c) for c in ins]
+            ov = [v.commit(c) for c in outs]
+            shuffle_gadget(v, iv, ov)
+            v.verify(proof, pc, bp, rng=rng)
+
+        dt = timeit(verify, reps=1)
+        record("k-shuffle proof verification", f"k={k}", dt)
+
+
+def bench_batch():
+    """Fused batched verification (the TPU-native headline config)."""
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, RangeProof, Transcript, Scalar
+    from bulletproofs_tpu.parallel import BatchVerifier
+    rng = Rng()
+    pc = PedersenGens()
+    bp = BulletproofGens(64, 1)
+    t = Transcript(b"batch")
+    proof, vcs = RangeProof.prove_multiple(bp, pc, t, [7], [Scalar.random(rng)], 64, rng=rng)
+    bv = BatchVerifier(bp, pc, 64, 1)
+    for batch in (64, 256, 1024):
+        def run():
+            bv.verify_batch([proof] * batch, [vcs] * batch,
+                            [Transcript(b"batch") for _ in range(batch)], rng=rng)
+        dt = timeit(run, reps=2)
+        record("fused batch verification", f"batch={batch} n=64", dt)
+        record("fused batch verification rate", f"batch={batch}",
+               1.0 / (batch / dt))
+
+
+def bench_msm():
+    """Raw MSM points/s (the north-star kernel metric)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bulletproofs_tpu.ops import curve_jax as C, msm as M
+    for logn in (12, 16):
+        N = 1 << logn
+        raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
+        pts = C.from_uniform_bytes(raw)
+        scalars = [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)]
+        digits = jnp.asarray(M.signed_digits(scalars, 8, 33))
+        G = 128 if N >= 4096 else 32
+        def run():
+            jax.device_get(M._msm_kernel(pts, digits, 33, 8, G, N // G))
+        dt = timeit(run, reps=3)
+        record("msm", f"2^{logn}", dt)
+
+
+ALL = {"rangeproof": bench_rangeproof, "generators": bench_generators,
+       "linear": bench_linear, "r1cs": bench_r1cs, "batch": bench_batch,
+       "msm": bench_msm}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["generators", "rangeproof", "linear", "r1cs"]
+    for name in which:
+        ALL[name]()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    json.dump(RESULTS, open(out, "w"), indent=1)
+    print(f"wrote {out}")

@@ -34,17 +34,38 @@ from ..ops.limbs import points_to_limbs
 from ..transcript import Transcript
 
 
+def _load_native_prep():
+    """ctypes handle to the C++ verification-prep fast path
+    (native/verify_prep.cpp; bit-identical to the Python reference path,
+    cross-validated in tests)."""
+    import ctypes, os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "libbptranscript.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.rangeproof_verify_prep.restype = ctypes.c_int
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_NATIVE_PREP = _load_native_prep()
+
+
 class BatchVerifier:
     """Caches device-resident generators for (n, m) and verifies batches of
     aggregated range proofs in one fused MSM."""
 
     def __init__(self, bp_gens: BulletproofGens, pc_gens: PedersenGens,
-                 n: int, m: int = 1, mesh=None):
+                 n: int, m: int = 1, mesh=None, use_native: bool = True):
         self.bp_gens = bp_gens
         self.pc_gens = pc_gens
         self.n = n
         self.m = m
         self.mesh = mesh
+        self.use_native = use_native and _NATIVE_PREP is not None
         static_host = ([pc_gens.B_blinding, pc_gens.B]
                        + bp_gens.G(n, m) + bp_gens.H(n, m))
         self._static_dev = jnp.asarray(points_to_limbs(static_host))
@@ -64,26 +85,33 @@ class BatchVerifier:
         np_proofs = len(proofs)
         assert np_proofs == len(value_commitments) == len(transcripts)
 
-        dyn_scalars: List[Scalar] = []
-        dyn_bytes: List[bytes] = []
-        static_acc = [0] * self._num_static
-
-        for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
-            scalars, compressed, _static_pts, vc_bytes = \
-                proof.verification_scalars_and_points(
+        if self.use_native:
+            dyn_blob, static_acc, dyn_bytes = self._prep_native(
+                proofs, value_commitments, transcripts, rng)
+            dyn_scalars = [int.from_bytes(dyn_blob[32 * i: 32 * i + 32], "little")
+                           for i in range(len(dyn_blob) // 32)]
+        else:
+            dyn_scalars = []
+            dyn_bytes = []
+            static_acc = [0] * self._num_static
+            for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
+                dyn_s, static_s, dyn_pts = proof.verification_scalars_ints(
                     self.bp_gens, self.pc_gens, transcript, vcs, self.n, rng=rng)
-            k = len(compressed)
-            r = Scalar.from_bytes_mod_order_wide(rng.randbytes(64))
-            # dynamic: [A, S, T1, T2, L..., R...] then V...
-            for s, b in zip(scalars[:k], compressed):
-                dyn_scalars.append(r * s)
-                dyn_bytes.append(b)
-            for s, b in zip(scalars[k + self._num_static:], vc_bytes):
-                dyn_scalars.append(r * s)
-                dyn_bytes.append(b)
-            rv = r.v
-            for j in range(self._num_static):
-                static_acc[j] = (static_acc[j] + rv * scalars[k + j].v) % L
+                r = int.from_bytes(rng.randbytes(64), "little") % L
+                dyn_scalars.extend(r * s % L for s in dyn_s)
+                dyn_bytes.extend(dyn_pts)
+                for j, s in enumerate(static_s):
+                    static_acc[j] = (static_acc[j] + r * s) % L
+
+        # pad the decompression batch to a shape quantum so compiled programs
+        # are reused across batch sizes (identity encodings are valid, scalar 0)
+        n_dyn = len(dyn_bytes)
+        if n_dyn <= 2048:
+            padded = 1 << max(0, (n_dyn - 1)).bit_length()
+        else:
+            padded = -(-n_dyn // 4096) * 4096
+        dyn_bytes.extend([bytes(32)] * (padded - n_dyn))
+        dyn_scalars.extend([0] * (padded - n_dyn))
 
         raw = np.frombuffer(b"".join(dyn_bytes), np.uint8).reshape(-1, 32)
         valid, dyn_pts = C.decompress_bytes(raw)
@@ -91,7 +119,7 @@ class BatchVerifier:
             raise ProofError.verification()
 
         all_points = jnp.concatenate([dyn_pts, self._static_dev], axis=0)
-        all_scalars = [s.v for s in dyn_scalars] + static_acc
+        all_scalars = dyn_scalars + static_acc
 
         if self.mesh is not None and self.mesh.devices.size > 1:
             from .sharded_msm import sharded_msm_limbs
@@ -101,6 +129,39 @@ class BatchVerifier:
 
         if not bool(np.asarray(jax.device_get(C._is_identity_jit(result)))):
             raise ProofError.verification()
+
+    def _prep_native(self, proofs, value_commitments, transcripts, rng):
+        """C++ per-proof prep: returns (dyn_scalar_blob, static_acc list,
+        dyn_point_bytes list)."""
+        import ctypes
+
+        n, m = self.n, self.m
+        nm = n * m
+        lg = (nm).bit_length() - 1
+        n_dyn = 4 + 2 * lg + m
+        dyn_blob = bytearray()
+        dyn_bytes: List[bytes] = []
+        static_buf = ctypes.create_string_buffer(32 * self._num_static)
+
+        for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
+            if len(vcs) != m or len(proof.ipp_proof.L_vec) != lg:
+                raise ProofError.verification()
+            pb = proof.to_bytes()
+            dyn_out = ctypes.create_string_buffer(32 * n_dyn)
+            rc = _NATIVE_PREP.rangeproof_verify_prep(
+                transcript.strobe.buf, pb, len(pb), b"".join(vcs),
+                ctypes.c_uint64(n), ctypes.c_uint64(m),
+                rng.randbytes(64), rng.randbytes(64), dyn_out, static_buf)
+            if rc != 0:
+                raise ProofError.verification()
+            dyn_blob += dyn_out.raw
+            dyn_bytes.extend([proof.A, proof.S, proof.T_1, proof.T_2]
+                             + proof.ipp_proof.L_vec + proof.ipp_proof.R_vec
+                             + list(vcs))
+
+        static_acc = [int.from_bytes(static_buf.raw[32 * j: 32 * (j + 1)], "little")
+                      for j in range(self._num_static)]
+        return bytes(dyn_blob), static_acc, dyn_bytes
 
 
 class _SystemRandom:

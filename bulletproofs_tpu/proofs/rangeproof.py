@@ -178,6 +178,109 @@ class RangeProof:
                          + bp_gens.G(n, m) + bp_gens.H(n, m))
         return scalars, compressed_points, static_points, list(value_commitments)
 
+    def verification_scalars_ints(self, bp_gens, pc_gens, transcript,
+                                  value_commitments: List[bytes], n: int,
+                                  rng=None):
+        """Raw-integer fast path for batched verification: identical math to
+        `verification_scalars_and_points` but on Python ints mod l (no
+        Scalar wrappers -- this is per-proof host work on the batched-verify
+        critical path).
+
+        Returns (dyn_scalars, static_scalars, dyn_point_bytes) where
+        dyn_point_bytes = [A, S, T1, T2, L..., R..., V...] and
+        static order = [B_blinding, B, G(n,m)..., H(n,m)...].
+        """
+        from ..core.scalar import L as ELL
+
+        rng = rng or SystemRandom()
+        m = len(value_commitments)
+
+        if n not in (8, 16, 32, 64):
+            raise ProofError.invalid_bitsize()
+        if bp_gens.gens_capacity < n or bp_gens.party_capacity < m:
+            raise ProofError.invalid_generators_length()
+
+        transcript.rangeproof_domain_sep(n, m)
+        for V in value_commitments:
+            transcript.append_point(b"V", V)
+        transcript.validate_and_append_point(b"A", self.A)
+        transcript.validate_and_append_point(b"S", self.S)
+        y = transcript.challenge_scalar(b"y").v
+        z = transcript.challenge_scalar(b"z").v
+        zz = z * z % ELL
+        transcript.validate_and_append_point(b"T_1", self.T_1)
+        transcript.validate_and_append_point(b"T_2", self.T_2)
+        x = transcript.challenge_scalar(b"x").v
+        transcript.append_scalar(b"t_x", self.t_x)
+        transcript.append_scalar(b"t_x_blinding", self.t_x_blinding)
+        transcript.append_scalar(b"e_blinding", self.e_blinding)
+        w = transcript.challenge_scalar(b"w").v
+        c = int.from_bytes(rng.randbytes(64), "little") % ELL
+
+        # ipp challenges (transcript) + s-vector, all raw ints
+        lg_n = len(self.ipp_proof.L_vec)
+        if lg_n >= 32 or n * m != (1 << lg_n):
+            raise ProofError.verification()
+        transcript.innerproduct_domain_sep(n * m)
+        challenges = []
+        for Lp, Rp in zip(self.ipp_proof.L_vec, self.ipp_proof.R_vec):
+            transcript.validate_and_append_point(b"L", Lp)
+            transcript.validate_and_append_point(b"R", Rp)
+            challenges.append(transcript.challenge_scalar(b"u").v)
+        prod = 1
+        for u in challenges:
+            prod = prod * u % ELL
+        allinv = pow(prod, ELL - 2, ELL)
+        # individual inverses via suffix products
+        inv = []
+        acc = allinv
+        suffix = [1] * (lg_n + 1)
+        for i in range(lg_n - 1, -1, -1):
+            suffix[i] = suffix[i + 1] * challenges[i] % ELL
+        prefix = 1
+        for i in range(lg_n):
+            inv.append(allinv * prefix % ELL * suffix[i + 1] % ELL)
+            prefix = prefix * challenges[i] % ELL
+        x_sq = [u * u % ELL for u in challenges]
+        x_inv_sq = [u * u % ELL for u in inv]
+        nm = n * m
+        s = [allinv]
+        for i in range(1, nm):
+            lg_i = i.bit_length() - 1
+            s.append(s[i - (1 << lg_i)] * x_sq[(lg_n - 1) - lg_i] % ELL)
+
+        a = self.ipp_proof.a.v
+        b = self.ipp_proof.b.v
+
+        # concat_z_and_2 and y^-i powers
+        pow2 = [pow(2, i, ELL) for i in range(n)]
+        y_inv = pow(y, ELL - 2, ELL)
+        zpow = [1] * m
+        for j in range(1, m):
+            zpow[j] = zpow[j - 1] * z % ELL
+        z_and_2 = [pow2[i] * zpow[j] % ELL for j in range(m) for i in range(n)]
+        yi = 1
+        minus_z = (-z) % ELL
+        g = []
+        h = []
+        for i in range(nm):
+            g.append((minus_z - a * s[i]) % ELL)
+            h.append((z + yi * (zz * z_and_2[i] - b * s[nm - 1 - i])) % ELL)
+            yi = yi * y_inv % ELL
+
+        vc_scalars = [c * zz % ELL * zj % ELL for zj in zpow]
+        delta_v = delta(n, m, Scalar(y), Scalar(z)).v
+        basepoint_scalar = (w * (self.t_x.v - a * b) + c * (delta_v - self.t_x.v)) % ELL
+
+        dyn_scalars = ([1, x, c * x % ELL, c * x % ELL * x % ELL]
+                       + x_sq + x_inv_sq + vc_scalars)
+        static_scalars = ([(-self.e_blinding.v - c * self.t_x_blinding.v) % ELL,
+                           basepoint_scalar] + g + h)
+        dyn_points = ([self.A, self.S, self.T_1, self.T_2]
+                      + self.ipp_proof.L_vec + self.ipp_proof.R_vec
+                      + list(value_commitments))
+        return dyn_scalars, static_scalars, dyn_points
+
     def verify_multiple(self, bp_gens, pc_gens, transcript,
                         value_commitments: List[bytes], n: int,
                         rng=None, msm=None):

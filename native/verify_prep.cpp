@@ -1,0 +1,496 @@
+// Native batched-verification prep: per-proof transcript replay and
+// verification-scalar computation for aggregated range proofs.
+//
+// This is the host-side critical path of fused batch verification (one call
+// per proof); the Python implementation (RangeProof.verification_scalars_ints)
+// remains the semantic reference and cross-validation oracle.  All scalar
+// arithmetic is mod l = 2^252 + 27742... using 4x64-bit limbs with __int128.
+//
+// Exposed via ctypes from bulletproofs_tpu/parallel/batch_verify.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+// ---------------------------------------------------------------------------
+// scalars mod l (4x64 little-endian limbs)
+// ---------------------------------------------------------------------------
+
+struct Sc {
+  u64 v[4];
+};
+
+static const Sc L_ORDER = {{0x5812631a5cf5d3edULL, 0x14def9dea2f79cd6ULL,
+                            0x0000000000000000ULL, 0x1000000000000000ULL}};
+// mu = floor(2^512 / L), 5 limbs (for Barrett)
+// computed offline: 2^512 / L
+static const u64 BARRETT_MU[5] = {0xed9ce5a30a2c131bULL, 0x2106215d086329a7ULL,
+                                  0xffffffffffffffebULL, 0xffffffffffffffffULL,
+                                  0x000000000000000fULL};
+
+static inline int sc_cmp(const Sc& a, const Sc& b) {
+  for (int i = 3; i >= 0; --i) {
+    if (a.v[i] < b.v[i]) return -1;
+    if (a.v[i] > b.v[i]) return 1;
+  }
+  return 0;
+}
+
+static inline void sc_sub_raw(Sc& r, const Sc& a, const Sc& b) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)a.v[i] - b.v[i] - borrow;
+    r.v[i] = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+}
+
+static inline void sc_cond_reduce(Sc& a) {
+  if (sc_cmp(a, L_ORDER) >= 0) {
+    Sc t;
+    sc_sub_raw(t, a, L_ORDER);
+    a = t;
+  }
+}
+
+static void sc_add(Sc& r, const Sc& a, const Sc& b) {
+  u128 carry = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a.v[i] + b.v[i] + carry;
+    r.v[i] = (u64)s;
+    carry = s >> 64;
+  }
+  sc_cond_reduce(r);
+}
+
+static void sc_sub(Sc& r, const Sc& a, const Sc& b) {
+  if (sc_cmp(a, b) >= 0) {
+    sc_sub_raw(r, a, b);
+  } else {
+    Sc t;
+    sc_sub_raw(t, b, a);        // t = b - a
+    sc_sub_raw(r, L_ORDER, t);  // r = L - t
+  }
+}
+
+static void sc_neg(Sc& r, const Sc& a) {
+  Sc zero = {{0, 0, 0, 0}};
+  if (a.v[0] == 0 && a.v[1] == 0 && a.v[2] == 0 && a.v[3] == 0) {
+    r = zero;
+  } else {
+    sc_sub_raw(r, L_ORDER, a);
+  }
+}
+
+// 512-bit product then Barrett reduction mod L
+static void sc_mul(Sc& r, const Sc& a, const Sc& b) {
+  u64 t[8] = {0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)a.v[i] * b.v[j] + t[i + j] + carry;
+      t[i + j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    t[i + 4] = (u64)carry;
+  }
+  // Barrett: q = floor( floor(t / 2^192) * mu / 2^320 )  (mu = 2^512/L)
+  // then r = t - q*L, with <= 2 conditional subtracts.
+  // q1 = t >> 192 -> 5 limbs
+  u64 q1[5] = {t[3], t[4], t[5], t[6], t[7]};
+  // q2 = q1 * mu (10 limbs), keep q3 = q2 >> 320 -> limbs 5.. (5 limbs used)
+  u64 q2[10] = {0};
+  for (int i = 0; i < 5; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 5; ++j) {
+      u128 cur = (u128)q1[i] * BARRETT_MU[j] + q2[i + j] + carry;
+      q2[i + j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    q2[i + 5] += (u64)carry;
+  }
+  u64 q3[5] = {q2[5], q2[6], q2[7], q2[8], q2[9]};
+  // r = t - q3 * L  (low 5 limbs suffice)
+  u64 ql[5] = {0};
+  for (int i = 0; i < 5; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4 && i + j < 5; ++j) {
+      u128 cur = (u128)q3[i] * L_ORDER.v[j] + ql[i + j] + carry;
+      ql[i + j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    if (i + 4 < 5) ql[i + 4] += (u64)carry;
+  }
+  u64 rem[5];
+  u128 borrow = 0;
+  for (int i = 0; i < 5; ++i) {
+    u128 d = (u128)t[i] - ql[i] - borrow;
+    rem[i] = (u64)d;
+    borrow = (d >> 64) ? 1 : 0;
+  }
+  // rem < 3L fits in 5 limbs (top limb tiny); conditional subtracts
+  for (int k = 0; k < 3; ++k) {
+    // compare rem (5 limbs) with L (4 limbs)
+    bool ge = rem[4] > 0;
+    if (!ge) {
+      Sc cur = {{rem[0], rem[1], rem[2], rem[3]}};
+      ge = sc_cmp(cur, L_ORDER) >= 0;
+    }
+    if (!ge) break;
+    u128 bor = 0;
+    for (int i = 0; i < 5; ++i) {
+      u64 li = i < 4 ? L_ORDER.v[i] : 0;
+      u128 d = (u128)rem[i] - li - bor;
+      rem[i] = (u64)d;
+      bor = (d >> 64) ? 1 : 0;
+    }
+  }
+  r.v[0] = rem[0]; r.v[1] = rem[1]; r.v[2] = rem[2]; r.v[3] = rem[3];
+}
+
+static void sc_from_wide(Sc& r, const uint8_t wide[64]) {
+  // 64 bytes LE mod L: split into lo (32B) + hi (32B)*2^256
+  Sc lo, hi;
+  std::memcpy(lo.v, wide, 32);
+  std::memcpy(hi.v, wide + 32, 32);
+  // 2^256 mod L precomputed
+  static const Sc R256 = {{0xd6ec31748d98951dULL, 0xc6ef5bf4737dcf70ULL,
+                           0xfffffffffffffffeULL, 0x0fffffffffffffffULL}};
+  Sc lo_red = lo;
+  // lo may exceed L: Barrett via mul by 1? simpler: cond-subtract up to 15 times
+  // (lo < 2^256 < 16L)
+  for (int i = 0; i < 16; ++i) sc_cond_reduce(lo_red);
+  Sc hi_red = hi;
+  for (int i = 0; i < 16; ++i) sc_cond_reduce(hi_red);
+  Sc t;
+  sc_mul(t, hi_red, R256);
+  sc_add(r, lo_red, t);
+}
+
+static void sc_invert(Sc& r, const Sc& a) {
+  // a^(L-2) by square-and-multiply (vartime ok: public verification scalars)
+  Sc exp;
+  Sc two = {{2, 0, 0, 0}};
+  sc_sub_raw(exp, L_ORDER, two);
+  Sc base = a;
+  Sc acc = {{1, 0, 0, 0}};
+  for (int i = 0; i < 4; ++i) {
+    u64 e = exp.v[i];
+    for (int b = 0; b < 64; ++b) {
+      if (e & 1) sc_mul(acc, acc, base);
+      sc_mul(base, base, base);
+      e >>= 1;
+    }
+  }
+  r = acc;
+}
+
+// ---------------------------------------------------------------------------
+// STROBE (reuse from transcript.cpp via extern decls)
+// ---------------------------------------------------------------------------
+
+struct Strobe {
+  uint8_t state[200];
+  uint8_t pos;
+  uint8_t pos_begin;
+  uint8_t cur_flags;
+};
+
+extern "C" {
+void strobe_meta_ad(Strobe* s, const uint8_t* data, size_t len, int more);
+void strobe_ad(Strobe* s, const uint8_t* data, size_t len, int more);
+void strobe_prf(Strobe* s, uint8_t* out, size_t len, int more);
+}
+
+static void t_append(Strobe* s, const char* label, size_t label_len,
+                     const uint8_t* msg, size_t msg_len) {
+  uint8_t len_le[4] = {(uint8_t)(msg_len), (uint8_t)(msg_len >> 8),
+                       (uint8_t)(msg_len >> 16), (uint8_t)(msg_len >> 24)};
+  strobe_meta_ad(s, (const uint8_t*)label, label_len, 0);
+  strobe_meta_ad(s, len_le, 4, 1);
+  strobe_ad(s, msg, msg_len, 0);
+}
+
+static void t_append_u64(Strobe* s, const char* label, size_t label_len, u64 x) {
+  uint8_t le[8];
+  for (int i = 0; i < 8; ++i) le[i] = (uint8_t)(x >> (8 * i));
+  t_append(s, label, label_len, le, 8);
+}
+
+static void t_challenge(Strobe* s, const char* label, size_t label_len, Sc* out) {
+  uint8_t len_le[4] = {64, 0, 0, 0};
+  strobe_meta_ad(s, (const uint8_t*)label, label_len, 0);
+  strobe_meta_ad(s, len_le, 4, 1);
+  uint8_t buf[64];
+  strobe_prf(s, buf, 64, 0);
+  sc_from_wide(*out, buf);
+}
+
+static bool is_zero32(const uint8_t* p) {
+  for (int i = 0; i < 32; ++i)
+    if (p[i]) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// rangeproof verification prep
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Inputs:
+//   strobe:     transcript state AFTER Transcript(label) init (mutated)
+//   proof:      proof bytes laid out as [A,S,T1,T2 | t_x,t_x_b,e_b | L0,R0..| a,b]
+//               (the canonical RangeProof wire format), proof_len bytes
+//   vcs:        m * 32 bytes of value commitments
+//   n, m:       bitsize and aggregation size (n*m a power of two)
+//   c_wide:     64 uniform bytes for the equation-batching scalar c
+//   r_wide:     64 uniform bytes for this proof's batch weight r
+// Outputs (all little-endian 32-byte scalars):
+//   dyn_scalars:    (4 + 2*lg(nm) + m) * 32 bytes   [A,S,T1,T2, L.., R.., V..],
+//                   each already multiplied by r
+//   static_acc:     (2 + 2*n*m) * 32 bytes          [B_blinding, B, g.., h..],
+//                   ACCUMULATOR: acc[j] += r * scalar_j (mod L) in place
+// Returns 0 on success, nonzero error code otherwise.
+int rangeproof_verify_prep(Strobe* strobe, const uint8_t* proof,
+                           size_t proof_len, const uint8_t* vcs, u64 n, u64 m,
+                           const uint8_t* c_wide, const uint8_t* r_wide,
+                           uint8_t* dyn_scalars, uint8_t* static_acc) {
+  const u64 nm = n * m;
+  // lg(nm)
+  int lg = 0;
+  while ((1ULL << lg) < nm) ++lg;
+  if ((1ULL << lg) != nm) return 1;
+  const size_t expect = 32 * (7 + 2 * (size_t)lg + 2);
+  if (proof_len != expect) return 2;
+
+  const uint8_t* A = proof;
+  const uint8_t* S = proof + 32;
+  const uint8_t* T1 = proof + 64;
+  const uint8_t* T2 = proof + 96;
+  const uint8_t* t_x_b = proof + 128;
+  const uint8_t* t_x_blinding_b = proof + 160;
+  const uint8_t* e_blinding_b = proof + 192;
+  const uint8_t* LR = proof + 224;
+  const uint8_t* ab = LR + 64 * (size_t)lg;
+
+  // transcript replay
+  t_append(strobe, "dom-sep", 7, (const uint8_t*)"rangeproof v1", 13);
+  t_append_u64(strobe, "n", 1, n);
+  t_append_u64(strobe, "m", 1, m);
+  for (u64 j = 0; j < m; ++j) t_append(strobe, "V", 1, vcs + 32 * j, 32);
+  if (is_zero32(A) || is_zero32(S)) return 3;
+  t_append(strobe, "A", 1, A, 32);
+  t_append(strobe, "S", 1, S, 32);
+  Sc y, z, x, w;
+  t_challenge(strobe, "y", 1, &y);
+  t_challenge(strobe, "z", 1, &z);
+  if (is_zero32(T1) || is_zero32(T2)) return 3;
+  t_append(strobe, "T_1", 3, T1, 32);
+  t_append(strobe, "T_2", 3, T2, 32);
+  t_challenge(strobe, "x", 1, &x);
+  t_append(strobe, "t_x", 3, t_x_b, 32);
+  t_append(strobe, "t_x_blinding", 12, t_x_blinding_b, 32);
+  t_append(strobe, "e_blinding", 10, e_blinding_b, 32);
+  t_challenge(strobe, "w", 1, &w);
+
+  Sc c, rw;
+  sc_from_wide(c, c_wide);
+  sc_from_wide(rw, r_wide);
+
+  // ipp challenges
+  t_append(strobe, "dom-sep", 7, (const uint8_t*)"ipp v1", 6);
+  t_append_u64(strobe, "n", 1, nm);
+  Sc* u = new Sc[lg];
+  for (int i = 0; i < lg; ++i) {
+    const uint8_t* Li = LR + 64 * (size_t)i;
+    const uint8_t* Ri = Li + 32;
+    if (is_zero32(Li) || is_zero32(Ri)) {
+      delete[] u;
+      return 3;
+    }
+    t_append(strobe, "L", 1, Li, 32);
+    t_append(strobe, "R", 1, Ri, 32);
+    t_challenge(strobe, "u", 1, &u[i]);
+  }
+
+  // canonical scalar loads (already validated at deserialization; trust here)
+  Sc t_x, t_x_blinding, e_blinding, a, b;
+  std::memcpy(t_x.v, t_x_b, 32);
+  std::memcpy(t_x_blinding.v, t_x_blinding_b, 32);
+  std::memcpy(e_blinding.v, e_blinding_b, 32);
+  std::memcpy(a.v, ab, 32);
+  std::memcpy(b.v, ab + 32, 32);
+
+  // batch inversion of challenges
+  Sc prod = {{1, 0, 0, 0}};
+  for (int i = 0; i < lg; ++i) sc_mul(prod, prod, u[i]);
+  Sc allinv;
+  sc_invert(allinv, prod);
+  Sc* uinv = new Sc[lg];
+  {
+    // suffix products
+    Sc* suf = new Sc[lg + 1];
+    suf[lg] = {{1, 0, 0, 0}};
+    for (int i = lg - 1; i >= 0; --i) sc_mul(suf[i], suf[i + 1], u[i]);
+    Sc pre = {{1, 0, 0, 0}};
+    for (int i = 0; i < lg; ++i) {
+      Sc t0;
+      sc_mul(t0, allinv, pre);
+      sc_mul(uinv[i], t0, suf[i + 1]);
+      sc_mul(pre, pre, u[i]);
+    }
+    delete[] suf;
+  }
+
+  Sc* u_sq = new Sc[lg];
+  Sc* u_inv_sq = new Sc[lg];
+  for (int i = 0; i < lg; ++i) {
+    sc_mul(u_sq[i], u[i], u[i]);
+    sc_mul(u_inv_sq[i], uinv[i], uinv[i]);
+  }
+
+  // s vector
+  Sc* s = new Sc[nm];
+  s[0] = allinv;
+  for (u64 i = 1; i < nm; ++i) {
+    int lg_i = 63 - __builtin_clzll(i);
+    u64 k = 1ULL << lg_i;
+    sc_mul(s[i], s[i - k], u_sq[(lg - 1) - lg_i]);
+  }
+
+  Sc zz, minus_z;
+  sc_mul(zz, z, z);
+  sc_neg(minus_z, z);
+  Sc y_inv;
+  sc_invert(y_inv, y);
+
+  // dyn scalars: [1, x, c*x, c*x*x] + u_sq + u_inv_sq + vc_scalars
+  Sc one = {{1, 0, 0, 0}};
+  Sc cx, cxx;
+  sc_mul(cx, c, x);
+  sc_mul(cxx, cx, x);
+  uint8_t* out = dyn_scalars;
+  bool accumulate = false;
+  auto emit = [&out, &rw, &accumulate](const Sc& v) {
+    Sc weighted;
+    sc_mul(weighted, rw, v);
+    if (accumulate) {
+      Sc cur;
+      std::memcpy(cur.v, out, 32);
+      sc_add(weighted, weighted, cur);
+    }
+    std::memcpy(out, weighted.v, 32);
+    out += 32;
+  };
+  emit(one);
+  emit(x);
+  emit(cx);
+  emit(cxx);
+  for (int i = 0; i < lg; ++i) emit(u_sq[i]);
+  for (int i = 0; i < lg; ++i) emit(u_inv_sq[i]);
+  // vc scalars: c * zz * z^j
+  {
+    Sc czz;
+    sc_mul(czz, c, zz);
+    Sc zj = czz;
+    for (u64 j = 0; j < m; ++j) {
+      emit(zj);
+      sc_mul(zj, zj, z);
+    }
+  }
+
+  // static scalars: [-e_blinding - c*t_x_blinding, basepoint_scalar] + g + h
+  out = static_acc;
+  accumulate = true;
+  {
+    Sc t0, t1;
+    sc_mul(t0, c, t_x_blinding);
+    sc_add(t0, t0, e_blinding);
+    sc_neg(t0, t0);
+    emit(t0);
+    // delta(n, m, y, z) = (z - z^2) * sum_y - z^3 * sum_2 * sum_z
+    auto sum_powers = [](const Sc& xv, u64 cnt) {
+      // cnt is a power of two
+      Sc result, factor;
+      if (cnt == 0) return Sc{{0, 0, 0, 0}};
+      if (cnt == 1) return Sc{{1, 0, 0, 0}};
+      Sc one_ = {{1, 0, 0, 0}};
+      sc_add(result, one_, xv);
+      factor = xv;
+      u64 mm = cnt;
+      while (mm > 2) {
+        sc_mul(factor, factor, factor);
+        Sc t2;
+        sc_mul(t2, factor, result);
+        sc_add(result, result, t2);
+        mm /= 2;
+      }
+      return result;
+    };
+    Sc two = {{2, 0, 0, 0}};
+    Sc sum_y = sum_powers(y, nm);
+    Sc sum_2 = sum_powers(two, n);
+    Sc sum_z = sum_powers(z, m);
+    Sc zmzz, d0, z3, d1, delta;
+    sc_sub(zmzz, z, zz);
+    sc_mul(d0, zmzz, sum_y);
+    sc_mul(z3, zz, z);
+    sc_mul(d1, z3, sum_2);
+    sc_mul(d1, d1, sum_z);
+    sc_sub(delta, d0, d1);
+    // basepoint = w*(t_x - a*b) + c*(delta - t_x)
+    Sc abm, wterm, dterm, bp;
+    sc_mul(abm, a, b);
+    sc_sub(wterm, t_x, abm);
+    sc_mul(wterm, w, wterm);
+    sc_sub(dterm, delta, t_x);
+    sc_mul(dterm, c, dterm);
+    sc_add(bp, wterm, dterm);
+    emit(bp);
+  }
+  // g[i] = -z - a*s[i];  h[i] = z + y^-i * (zz * z_and_2[i] - b * s[nm-1-i])
+  {
+    for (u64 i = 0; i < nm; ++i) {
+      Sc as, g;
+      sc_mul(as, a, s[i]);
+      sc_sub(g, minus_z, as);
+      emit(g);
+    }
+    Sc yi = {{1, 0, 0, 0}};
+    Sc two = {{2, 0, 0, 0}};
+    // z_and_2[i] = 2^(i mod n) * z^(i / n)
+    Sc zj = {{1, 0, 0, 0}};
+    Sc p2 = {{1, 0, 0, 0}};
+    for (u64 i = 0; i < nm; ++i) {
+      u64 bit = i % n;
+      if (i > 0 && bit == 0) {
+        sc_mul(zj, zj, z);
+        p2 = {{1, 0, 0, 0}};
+      }
+      Sc z2;
+      sc_mul(z2, p2, zj);
+      Sc t0, t1, h;
+      sc_mul(t0, zz, z2);
+      sc_mul(t1, b, s[nm - 1 - i]);
+      sc_sub(t0, t0, t1);
+      sc_mul(t0, yi, t0);
+      sc_add(h, z, t0);
+      emit(h);
+      sc_mul(yi, yi, y_inv);
+      sc_mul(p2, p2, two);
+    }
+  }
+
+  delete[] u;
+  delete[] uinv;
+  delete[] u_sq;
+  delete[] u_inv_sq;
+  delete[] s;
+  return 0;
+}
+
+}  // extern "C"
