@@ -91,17 +91,17 @@ def main():
     # secondary metric: raw MSM points/s at 2^16 (stderr only)
     try:
         import jax.numpy as jnp
-        from bulletproofs_tpu.ops import curve_jax as C, msm as M
+        from bulletproofs_tpu.ops import vec_curve as C
+        from bulletproofs_tpu.ops import vec_msm
         N = 1 << 16
         raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
         pts = C.from_uniform_bytes(raw)
-        scalars = [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)]
-        digits = jnp.asarray(M.signed_digits(scalars, 8, 33))
-        out = M._msm_kernel(pts, digits, 33, 8, 128, N // 128)
-        jax.device_get(out)
+        sbytes = vec_msm.scalars_to_bytes(
+            [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)])
+        jax.device_get(vec_msm.msm_lanes_auto(pts, sbytes))
         t0 = time.time()
         for _ in range(3):
-            jax.device_get(M._msm_kernel(pts, digits, 33, 8, 128, N // 128))
+            jax.device_get(vec_msm.msm_lanes_auto(pts, sbytes))
         msm_dt = (time.time() - t0) / 3
         log(f"MSM 2^16: {msm_dt*1000:.0f} ms -> {N/msm_dt/1e6:.3f} M points/s")
     except Exception as e:

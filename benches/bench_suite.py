@@ -175,16 +175,16 @@ def bench_msm():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from bulletproofs_tpu.ops import curve_jax as C, msm as M
+    from bulletproofs_tpu.ops import vec_curve as C
+    from bulletproofs_tpu.ops import vec_msm
     for logn in (12, 16):
         N = 1 << logn
         raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
         pts = C.from_uniform_bytes(raw)
-        scalars = [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)]
-        digits = jnp.asarray(M.signed_digits(scalars, 8, 33))
-        G = 128 if N >= 4096 else 32
+        sbytes = vec_msm.scalars_to_bytes(
+            [int.from_bytes(secrets.token_bytes(31), "little") for _ in range(N)])
         def run():
-            jax.device_get(M._msm_kernel(pts, digits, 33, 8, G, N // G))
+            jax.device_get(vec_msm.msm_lanes_auto(pts, sbytes))
         dt = timeit(run, reps=3)
         record("msm", f"2^{logn}", dt)
 

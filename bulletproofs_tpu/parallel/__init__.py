@@ -6,5 +6,5 @@ BatchVerifier's fused MSM; multi-party distribution -> mesh-sharded MSM
 with collectives over ICI.
 """
 
-from .sharded_msm import sharded_msm_limbs, make_mesh
+from .sharded_msm import sharded_msm_lanes, make_mesh
 from .batch_verify import BatchVerifier

@@ -9,35 +9,35 @@ equations per proof, src/range_proof/mod.rs:396,418-419) across *proofs*
 Each proof contributes 4 + 2*lg(nm) + m dynamic points (A, S, T_1, T_2,
 L_i, R_i, V_j); the 2nm + 2 static points (B, B~, G, H) are shared, their
 per-proof scalars summed host-side.  Dynamic points are batch-decompressed
-on device; the fused MSM runs single-chip (ops/msm.py) or across a mesh
-(parallel/sharded_msm.py).
+on device; the fused MSM runs single-chip (ops/vec_msm.py) or across a
+mesh (parallel/sharded_msm.py).  All device math uses the lane-major core
+(ops/vec_field.py layout).
 
 Host work per proof (transcript replay + verification scalars) is the
-sequential Fiat-Shamir part and stays on host by design.
+sequential Fiat-Shamir part; it runs in native C++ when the extension is
+built (native/verify_prep.cpp, bit-identical to the Python path and
+cross-validated in tests) and in Python otherwise.
 """
 
 from __future__ import annotations
 
 import secrets
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.scalar import Scalar, L
+from ..core.scalar import L
 from ..errors import ProofError
 from ..generators import BulletproofGens, PedersenGens
-from ..ops import curve_jax as C
-from ..ops import msm as msm_mod
-from ..ops.limbs import points_to_limbs
+from ..ops import vec_curve as C
+from ..ops import vec_msm
 from ..transcript import Transcript
 
 
 def _load_native_prep():
-    """ctypes handle to the C++ verification-prep fast path
-    (native/verify_prep.cpp; bit-identical to the Python reference path,
-    cross-validated in tests)."""
+    """ctypes handle to the C++ verification-prep fast path."""
     import ctypes, os
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so = os.path.join(here, "native", "libbptranscript.so")
@@ -68,7 +68,7 @@ class BatchVerifier:
         self.use_native = use_native and _NATIVE_PREP is not None
         static_host = ([pc_gens.B_blinding, pc_gens.B]
                        + bp_gens.G(n, m) + bp_gens.H(n, m))
-        self._static_dev = jnp.asarray(points_to_limbs(static_host))
+        self._static_dev = jnp.asarray(C.points_to_lanes(static_host))
         self._num_static = len(static_host)
 
     def verify_batch(self, proofs: Sequence, value_commitments: List[List[bytes]],
@@ -88,20 +88,20 @@ class BatchVerifier:
         if self.use_native:
             dyn_blob, static_acc, dyn_bytes = self._prep_native(
                 proofs, value_commitments, transcripts, rng)
-            dyn_scalars = [int.from_bytes(dyn_blob[32 * i: 32 * i + 32], "little")
-                           for i in range(len(dyn_blob) // 32)]
+            dyn_scalars = np.frombuffer(dyn_blob, np.uint8).reshape(-1, 32)
         else:
-            dyn_scalars = []
+            dyn_ints = []
             dyn_bytes = []
             static_acc = [0] * self._num_static
             for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
                 dyn_s, static_s, dyn_pts = proof.verification_scalars_ints(
                     self.bp_gens, self.pc_gens, transcript, vcs, self.n, rng=rng)
                 r = int.from_bytes(rng.randbytes(64), "little") % L
-                dyn_scalars.extend(r * s % L for s in dyn_s)
+                dyn_ints.extend(r * s % L for s in dyn_s)
                 dyn_bytes.extend(dyn_pts)
                 for j, s in enumerate(static_s):
                     static_acc[j] = (static_acc[j] + r * s) % L
+            dyn_scalars = vec_msm.scalars_to_bytes(dyn_ints)[:, :32]
 
         # pad the decompression batch to a shape quantum so compiled programs
         # are reused across batch sizes (identity encodings are valid, scalar 0)
@@ -110,24 +110,27 @@ class BatchVerifier:
             padded = 1 << max(0, (n_dyn - 1)).bit_length()
         else:
             padded = -(-n_dyn // 4096) * 4096
-        dyn_bytes.extend([bytes(32)] * (padded - n_dyn))
-        dyn_scalars.extend([0] * (padded - n_dyn))
+        dyn_bytes = list(dyn_bytes) + [bytes(32)] * (padded - n_dyn)
 
         raw = np.frombuffer(b"".join(dyn_bytes), np.uint8).reshape(-1, 32)
         valid, dyn_pts = C.decompress_bytes(raw)
         if not valid.all():
             raise ProofError.verification()
 
-        all_points = jnp.concatenate([dyn_pts, self._static_dev], axis=0)
-        all_scalars = dyn_scalars + static_acc
+        all_points = jnp.concatenate([dyn_pts, self._static_dev], axis=-1)
+        sbytes = np.zeros((padded + self._num_static, 33), np.uint8)
+        sbytes[:n_dyn, :32] = dyn_scalars
+        sbytes[padded:, :32] = np.frombuffer(
+            b"".join(int(s).to_bytes(32, "little") for s in static_acc),
+            np.uint8).reshape(-1, 32)
 
         if self.mesh is not None and self.mesh.devices.size > 1:
-            from .sharded_msm import sharded_msm_limbs
-            result = sharded_msm_limbs(all_points, all_scalars, self.mesh)
+            from .sharded_msm import sharded_msm_lanes
+            result = sharded_msm_lanes(all_points, sbytes, self.mesh)
         else:
-            result = msm_mod.msm_limbs(all_points, all_scalars)
+            result = vec_msm.msm_lanes_auto(all_points, sbytes)
 
-        if not bool(np.asarray(jax.device_get(C._is_identity_jit(result)))):
+        if not bool(np.asarray(jax.device_get(C._is_identity_jit(result)))[0]):
             raise ProofError.verification()
 
     def _prep_native(self, proofs, value_commitments, transcripts, rng):

@@ -2,27 +2,30 @@
 
 TPU-native distribution (SURVEY.md §2c.5): points and scalar digits are
 partitioned across chips along the point axis with shard_map; each chip
-runs the full local Pippenger accumulation on its shard, then the per-chip
-partial results (group elements, NOT summable with psum) are all-gathered
-over ICI and folded with Edwards additions on every chip.  Communication is
-one all-gather of a single point per chip -- 320 bytes each -- so scaling
-efficiency is limited only by the local MSM balance.
+runs the full local Pippenger accumulation + reduction on its shard
+(ops/vec_msm.py), then the per-chip partial results (group elements, NOT
+summable with psum) are all-gathered over ICI and folded with Edwards
+additions on every chip.  Communication is one all-gather of a single
+point per chip -- 320 bytes each -- so scaling efficiency is limited only
+by local MSM balance.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
-from ..ops import curve_jax as C
+from ..ops import vec_curve as C
+from ..ops import vec_msm
 from ..ops.limbs import NLIMBS
-from ..ops import msm as msm_mod
+
+L = NLIMBS
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "points") -> Mesh:
@@ -32,49 +35,84 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "points") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5), static_argnames=("mesh",))
-def _sharded_msm(points, digits, num_windows, c, groups, k_steps, *, mesh):
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
+def _sharded_msm_xla(points, digits, groups, k_steps, *, mesh):
     axis = mesh.axis_names[0]
 
     def local(points_shard, digits_shard):
-        partial = msm_mod._msm_kernel.__wrapped__(
-            points_shard, digits_shard, num_windows, c, groups, k_steps)
-        gathered = jax.lax.all_gather(partial, axis)  # (ndev, 4, 20)
-        acc = gathered[0]
-        for i in range(1, gathered.shape[0]):
-            acc = C.add(acc, gathered[i])
+        buckets = vec_msm._accum_kernel(
+            points_shard.reshape(4, L, groups, k_steps),
+            digits_shard.reshape(vec_msm.NUM_WINDOWS, groups, k_steps))
+        partial = vec_msm._finalize_kernel(buckets)      # (4, L, 1)
+        gathered = jax.lax.all_gather(partial, axis, axis=2, tiled=True)
+        acc = gathered[:, :, :1]
+        for i in range(1, gathered.shape[2]):
+            acc = C.add(acc, gathered[:, :, i: i + 1])
         return acc
 
     f = shard_map(local, mesh=mesh,
-                  in_specs=(P(axis), P(None, axis)),
+                  in_specs=(P(None, None, axis), P(None, axis)),
                   out_specs=P(),
-                  check_rep=False)
+                  check_vma=False)
     return f(points, digits)
 
 
-def sharded_msm_limbs(points: jnp.ndarray, scalars: Sequence[int], mesh: Mesh,
-                      c: int = 8, groups_per_device: int = 64) -> jnp.ndarray:
-    """MSM of (N, 4, 20) device points x host int scalars over `mesh`.
+@functools.partial(jax.jit, static_argnums=(2, 3), static_argnames=("mesh",))
+def _sharded_msm_pallas(points, digits4, blk, kchunk, *, mesh):
+    from ..ops import msm_pallas
+    axis = mesh.axis_names[0]
 
+    def local(points_shard, digits_shard):
+        partial = msm_pallas._msm_pallas.__wrapped__(
+            points_shard, digits_shard, blk, kchunk)     # (4, L, 1)
+        gathered = jax.lax.all_gather(partial, axis, axis=2, tiled=True)
+        acc = gathered[:, :, :1]
+        for i in range(1, gathered.shape[2]):
+            acc = C.add(acc, gathered[:, :, i: i + 1])
+        return acc
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(None, None, axis), P(None, axis)),
+                  out_specs=P(),
+                  check_vma=False)
+    return f(points, digits4)
+
+
+def sharded_msm_lanes(points: jnp.ndarray, scalars, mesh: Mesh,
+                      groups_per_device: int = 64) -> jnp.ndarray:
+    """MSM of (4, L, N) device points x host scalars over `mesh` -> (4, L, 1).
+
+    Points and digits shard along the point axis; each chip runs the local
+    Pippenger (fused Pallas kernels on TPU meshes, the XLA kernel on CPU
+    meshes), and per-chip partials are all-gathered over ICI and folded.
     N is padded so each device gets an equal shard; identity-padding is
-    harmless (digit 0 -> ignored bucket 0).
+    harmless (digit 0 -> bucket 0, excluded from the weighted reduction).
     """
-    n = points.shape[0]
+    n = points.shape[-1]
     ndev = mesh.devices.size
-    scalars = [s.v if hasattr(s, "v") else int(s) for s in scalars]
-    num_windows = -(-253 // c) + 1
+    sbytes = scalars if isinstance(scalars, np.ndarray) else \
+        vec_msm.scalars_to_bytes(scalars)
+    tpu_mesh = mesh.devices.flat[0].platform == "tpu"
 
-    shard = -(-n // ndev)
-    k_steps = max(1, -(-shard // groups_per_device))
-    k_steps = 1 << (k_steps - 1).bit_length() if k_steps > 1 else 1
-    groups = max(1, -(-shard // k_steps))
-    padded = ndev * groups * k_steps
+    if tpu_mesh:
+        from ..ops import msm_pallas
+        shard, blk, kchunk = msm_pallas._pick_shape(-(-n // ndev))
+        padded = ndev * shard
+    else:
+        shard = -(-n // ndev)
+        k_steps = max(1, -(-shard // groups_per_device))
+        k_steps = 1 << (k_steps - 1).bit_length() if k_steps > 1 else 1
+        groups = max(1, -(-shard // k_steps))
+        padded = ndev * groups * k_steps
 
-    digits = msm_mod.signed_digits(scalars, c, num_windows)
     if padded != n:
-        points = jnp.concatenate([points, C.identity((padded - n,))], axis=0)
-        digits = np.concatenate(
-            [digits, np.zeros((num_windows, padded - n), np.int32)], axis=1)
-
-    return _sharded_msm(points, jnp.asarray(digits), num_windows, c, groups,
-                        k_steps, mesh=mesh)
+        points = jnp.concatenate([points, C.identity((), padded - n)], axis=-1)
+        sbytes = np.concatenate([sbytes, np.zeros((padded - n, 33), np.uint8)],
+                                axis=0)
+    if tpu_mesh:
+        from ..ops import msm_pallas
+        digits = msm_pallas.device_digits4(
+            jnp.asarray(np.ascontiguousarray(sbytes[:, :32])))
+        return _sharded_msm_pallas(points, digits, blk, kchunk, mesh=mesh)
+    digits = vec_msm.device_digits(jnp.asarray(sbytes))
+    return _sharded_msm_xla(points, digits, groups, k_steps, mesh=mesh)
