@@ -44,7 +44,7 @@ def main():
 
     n = 64
     n_distinct = 8
-    batch = 512
+    batch = 2048
     rng = Rng()
 
     t0 = time.time()
@@ -73,7 +73,7 @@ def main():
                     [Transcript(l) for l in all_labels], rng=rng)
     log(f"warm-up batch verify ({batch} proofs incl. compile): {time.time()-t0:.1f}s")
 
-    iters = 3
+    iters = 5
     t0 = time.time()
     for _ in range(iters):
         bv.verify_batch(all_proofs, all_vcss,

@@ -1,10 +1,11 @@
-"""Pippenger MSM as fused Pallas TPU kernels (generation 3 -- the production
-compute path for the reference's `VartimeMultiscalarMul` hot loop).
+"""Pippenger MSM and point-codec kernels as fused Pallas TPU programs
+(generation 3 -- the production compute path for the reference's
+`VartimeMultiscalarMul` hot loop and batch point (de)compression).
 
 Why Pallas: the XLA elementwise path round-trips every (L, N) intermediate
 through HBM, so field muls are bandwidth-bound (~25 M Edwards adds/s);
-fusing the whole add chain in VMEM reaches ~200 M adds/s (measured on
-v5e).  Design choices, driven by the hardware:
+fusing whole chains in VMEM reaches ~200 M adds/s (measured on v5e).
+Design choices, driven by the hardware:
 
 * **4-bit unsigned windows** (W = 64, B = 16 buckets): small enough that
   the data-dependent bucket access becomes a dense one-hot mux over 16
@@ -16,14 +17,16 @@ v5e).  Design choices, driven by the hardware:
 * three phases, all Pallas: accumulate -> per-window lane-tree + weighted
   bucket scan -> Horner window combine.  The serial Horner tail (252
   doublings at batch width 1) costs ~1 ms fused in one kernel, versus
-  ~50 ms as XLA ops, because in-kernel op latency is ~ns not ~us;
-* limb math is the 20 x 13-bit schoolbook of ops/vec_field.py, expressed
-  with static slices + concatenates only (Mosaic rejects scatter-add /
-  dynamic_slice on values).
+  ~50 ms as XLA ops, because in-kernel op latency is ~ns not ~us.  The
+  Horner kernel also emits an is-identity flag so a batch verifier needs
+  no extra device round-trip;
+* decompression/compression (the other verification hot spot: one
+  sqrt_ratio exponentiation chain per point) are single fused kernels
+  gridded over lane blocks.
 
-Digit extraction runs on device from raw 32-byte scalars (one byte = two
-digits).  Identity padding is free: digit 0 lands in bucket 0, which the
-weighted reduction excludes.
+In-kernel math lives in ops/pallas_math.py.  Digit extraction runs on
+device from raw 32-byte scalars (one byte = two digits).  Identity padding
+is free: digit 0 lands in bucket 0, which the weighted reduction excludes.
 """
 
 from __future__ import annotations
@@ -37,109 +40,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .limbs import NLIMBS, LIMB_BITS, LIMB_MASK
-from ..core import field as host_field
+from . import pallas_math as PM
+from .limbs import NLIMBS
 
 L = NLIMBS
-MASK = LIMB_MASK
-TOP = 608                      # 2^260 mod p = 2^5 * 19
 WINDOW_BITS = 4
 NUM_WINDOWS = 64               # 64 x 4 = 256 bits >= any scalar encoding
 NUM_BUCKETS = 16
 
 _INTERPRET = False             # flipped by tests on CPU
-
-
-def _to_limbs(v: int) -> np.ndarray:
-    out = np.zeros(L, np.int32)
-    for k in range(L):
-        out[k] = v & MASK
-        v >>= LIMB_BITS
-    return out
-
-
-def _make_consts() -> np.ndarray:
-    """(3, L, 1): [subtraction bias, 2d, one]."""
-    bias_v = sum(1 << (14 + LIMB_BITS * k) for k in range(L))
-    bias = _to_limbs((-bias_v) % host_field.P) + (1 << 14)
-    d2 = _to_limbs(host_field.EDWARDS_D2)
-    one = _to_limbs(1)
-    return np.stack([bias, d2, one]).astype(np.int32)[:, :, None]
-
-
-_CONSTS = _make_consts()
-
-# kernel-scope constants, rebound from the consts input at kernel entry
-_BIAS = [None]
-_D2 = [None]
-
-
-def _carry(c):
-    cr = c >> LIMB_BITS
-    lo = c & MASK
-    return lo + jnp.concatenate([TOP * cr[..., L - 1:, :], cr[..., :L - 1, :]],
-                                axis=-2)
-
-
-def _fmul(a, b):
-    """Schoolbook 20x20 with static slice/concat only (Mosaic-safe)."""
-    c = jnp.zeros(a.shape[:-2] + (2 * L - 1,) + a.shape[-1:], jnp.int32)
-    for i in range(L):
-        seg = c[..., i: i + L, :] + a[..., i: i + 1, :] * b
-        parts = ([c[..., :i, :]] if i else []) + [seg]
-        if i + L < 2 * L - 1:
-            parts.append(c[..., i + L:, :])
-        c = jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
-    lo = c[..., :L, :]
-    hi = c[..., L:, :]
-    z1 = jnp.zeros_like(hi[..., :1, :])
-    lo = lo + TOP * jnp.concatenate([hi & MASK, z1], axis=-2)
-    lo = lo + TOP * jnp.concatenate([z1, hi >> LIMB_BITS], axis=-2)
-    return _carry(_carry(_carry(lo)))
-
-
-def _fadd(a, b):
-    return _carry(a + b)
-
-
-def _fsub(a, b):
-    return _carry(_carry(a + _BIAS[0] - b))
-
-
-def _ed_add(p, q):
-    """Complete unified addition on coordinate tuples (X, Y, Z, T)."""
-    X1, Y1, Z1, T1 = p
-    X2, Y2, Z2, T2 = q
-    A = _fmul(_fsub(Y1, X1), _fsub(Y2, X2))
-    B = _fmul(_fadd(Y1, X1), _fadd(Y2, X2))
-    C = _fmul(_fmul(T1, _D2[0]), T2)
-    D = _carry(_carry(_carry(2 * _fmul(Z1, Z2))))
-    E = _fsub(B, A)
-    Fv = _fsub(D, C)
-    G = _fadd(D, C)
-    H = _fadd(B, A)
-    return (_fmul(E, Fv), _fmul(G, H), _fmul(Fv, G), _fmul(E, H))
-
-
-def _ed_double(p):
-    X1, Y1, Z1, _ = p
-    A = _fmul(X1, X1)
-    B = _fmul(Y1, Y1)
-    C = _carry(_carry(_carry(2 * _fmul(Z1, Z1))))
-    H = _fadd(A, B)
-    E = _fsub(H, _fmul(_fadd(X1, Y1), _fadd(X1, Y1)))
-    G = _fsub(A, B)
-    Fv = _fadd(C, G)
-    return (_fmul(E, Fv), _fmul(G, H), _fmul(Fv, G), _fmul(E, H))
-
-
-def _bind_consts(consts_ref):
-    _BIAS[0] = consts_ref[0]
-    _D2[0] = consts_ref[1]
-
-
-def _stack4(t):
-    return jnp.stack(t)
 
 
 # --------------------------------------------------------------------------
@@ -150,7 +59,7 @@ def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
     """Grid (W, n_chunks).  pts (4, L, KCH, BLK) chunk; digs (1, KCH, 1, BLK);
     slab scratch (B, 4, L, BLK) persists across the chunk axis; out
     (1, B, 4, L, BLK) written on the last chunk."""
-    _bind_consts(consts_ref)
+    PM.bind_consts(consts_ref)
     kc = pl.program_id(1)
     n_kc = pl.num_programs(1)
     KCH = pts_ref.shape[2]
@@ -176,11 +85,11 @@ def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
             m = masks[b]
             for c in range(4):
                 cur[c] = cur[c] + jnp.where(m, sb[c], 0)
-        new = _ed_add(tuple(cur), pt)
+        new = PM.ed_add(tuple(cur), pt)
         for b in range(NUM_BUCKETS):
             sb = slab[b]
             m = masks[b]
-            slab[b] = _stack4([jnp.where(m, new[c], sb[c]) for c in range(4)])
+            slab[b] = jnp.stack([jnp.where(m, new[c], sb[c]) for c in range(4)])
         return 0
 
     jax.lax.fori_loop(0, KCH, step, 0)
@@ -196,11 +105,10 @@ def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
 
 def _reduce_kernel(consts_ref, slab_ref, out_ref):
     """Grid (W,).  slab (1, B, 4, L, BLK) -> out (1, 4, L, 8):
-    S_w = sum_b b * (sum_lanes slab[b, :, :, lanes]).
-
-    All buckets reduce together: coordinate tuples carry a leading B axis,
-    so each tree/scan level is ONE wide add, not B of them."""
-    _bind_consts(consts_ref)
+    S_w = sum_b b * (sum_lanes slab[b]).  All buckets reduce together: the
+    coordinate tuples carry a leading B axis, so each tree/scan level is
+    ONE wide add."""
+    PM.bind_consts(consts_ref)
     B = slab_ref.shape[1]
     blk = slab_ref.shape[-1]
 
@@ -208,82 +116,139 @@ def _reduce_kernel(consts_ref, slab_ref, out_ref):
     n = blk
     while n > 8:
         n //= 2
-        t = _ed_add(tuple(x[..., :n] for x in t),
-                    tuple(x[..., n: 2 * n] for x in t))
+        t = PM.ed_add(tuple(x[..., :n] for x in t),
+                      tuple(x[..., n: 2 * n] for x in t))
 
     # weighted sum over buckets: S = sum_{b>=1} b * t[b] via double suffix
     # scan over the leading B axis (shift up, pad with identity)
     def suffix(v):
         sh = 1
         while sh < B:
-            ident = _identity_tuple((sh,) + v[0].shape[1:])
+            ident = PM.identity_tuple((sh,) + v[0].shape[1:])
             shifted = tuple(jnp.concatenate([x[sh:], ident[c]], axis=0)
                             for c, x in enumerate(v))
-            v = _ed_add(v, shifted)
+            v = PM.ed_add(v, shifted)
             sh *= 2
         return v
 
     t = suffix(suffix(t))
-    out_ref[0] = _stack4(tuple(x[1] for x in t))
-
-
-def _identity_tuple(shape):
-    zero = jnp.zeros(shape, jnp.int32)
-    one = jnp.concatenate([jnp.ones(shape[:-2] + (1,) + shape[-1:], jnp.int32),
-                           zero[..., 1:, :]], axis=-2)
-    return (zero, one, one, zero)
+    out_ref[0] = jnp.stack(tuple(x[1] for x in t))
 
 
 # --------------------------------------------------------------------------
-# phase 3: window combine (Horner tail, all in one kernel invocation)
+# phase 3: window combine (Horner tail) + identity flag
 # --------------------------------------------------------------------------
 
-def _horner_kernel(consts_ref, sums_ref, out_ref):
-    """sums (W, 4, L, 8) -> out (4, L, 8): sum_w 2^(4w) S_w.
-    The 8 surviving lanes stay independent; the caller folds them."""
-    _bind_consts(consts_ref)
+def _horner_kernel(consts_ref, sums_ref, out_ref, flag_ref):
+    """sums (W, 4, L, 8) -> out (4, L, 8) result point (lane 0) and
+    flag (1, 8) int32 (lane 0: result == identity)."""
+    PM.bind_consts(consts_ref)
     W = sums_ref.shape[0]
 
     def wstep(i, acc):
         w = W - 2 - i
         for _ in range(WINDOW_BITS):
-            acc = _ed_double(acc)
+            acc = PM.ed_double(acc)
         s = tuple(sums_ref[w, c] for c in range(4))
-        return _ed_add(acc, s)
+        return PM.ed_add(acc, s)
 
     acc = tuple(sums_ref[W - 1, c] for c in range(4))
     acc = jax.lax.fori_loop(0, W - 1, wstep, acc)
-    # fold the 8 lanes: 3 halving adds
     n = 8
     while n > 1:
         n //= 2
-        acc = _ed_add(tuple(x[..., :n] for x in acc),
-                      tuple(x[..., n: 2 * n] for x in acc))
-    out_ref[:] = _stack4(tuple(jnp.broadcast_to(x, (L, 8)) for x in acc))
+        acc = PM.ed_add(tuple(x[..., :n] for x in acc),
+                        tuple(x[..., n: 2 * n] for x in acc))
+    out_ref[:] = jnp.stack(tuple(jnp.broadcast_to(x, (L, 8)) for x in acc))
+    flag_ref[:] = jnp.broadcast_to(PM.is_identity(acc), (1, 8))
 
 
 # --------------------------------------------------------------------------
-# driver
+# point codecs
+# --------------------------------------------------------------------------
+
+def _decompress_kernel(consts_ref, s_ref, valid_ref, pt_ref):
+    """Grid (N/BLK,).  s (L, BLK) limb columns -> valid (1, BLK),
+    point (4, L, BLK)."""
+    PM.bind_consts(consts_ref)
+    valid, pt = PM.decompress(s_ref[:])
+    valid_ref[:] = valid
+    pt_ref[:] = jnp.stack(pt)
+
+
+def _compress_kernel(consts_ref, pt_ref, s_ref):
+    """Grid (N/BLK,).  point (4, L, BLK) -> canonical s (L, BLK)."""
+    PM.bind_consts(consts_ref)
+    s_ref[:] = PM.compress((pt_ref[0], pt_ref[1], pt_ref[2], pt_ref[3]))
+
+
+_CODEC_BLK = 2048
+
+
+@jax.jit
+def decompress_lanes(s: jnp.ndarray):
+    """(L, N) limb columns -> (valid (N,) bool, points (4, L, N)).  N must
+    be a multiple of 256; caller pads (the all-zero encoding is valid)."""
+    n = s.shape[-1]
+    blk = min(_CODEC_BLK, n)
+    valid, pts = pl.pallas_call(
+        _decompress_kernel,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L, blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((4, L, n), jnp.int32),
+        ],
+        interpret=_INTERPRET,
+    )(jnp.asarray(PM.CONSTS), s)
+    return valid[0] != 0, pts
+
+
+@jax.jit
+def compress_lanes(pts: jnp.ndarray) -> jnp.ndarray:
+    """(4, L, N) points -> (L, N) canonical s limb columns."""
+    n = pts.shape[-1]
+    blk = min(_CODEC_BLK, n)
+    return pl.pallas_call(
+        _compress_kernel,
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L, blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.int32),
+        interpret=_INTERPRET,
+    )(jnp.asarray(PM.CONSTS), pts)
+
+
+# --------------------------------------------------------------------------
+# MSM driver
 # --------------------------------------------------------------------------
 
 def device_digits4(sbytes: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (W=64, N) int32 unsigned base-16 digits."""
-    b = sbytes.astype(jnp.int32)                    # (N, 32)
-    lo = b & 15
-    hi = b >> 4
-    d = jnp.stack([lo, hi], axis=2).reshape(b.shape[0], 64)  # (N, 64)
+    b = sbytes.astype(jnp.int32)
+    d = jnp.stack([b & 15, b >> 4], axis=2).reshape(b.shape[0], 64)
     return d.T
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _msm_pallas(points: jnp.ndarray, digits: jnp.ndarray,
-                blk: int, kchunk: int) -> jnp.ndarray:
-    """points (4, L, N), digits (W, N), N = n_chunks * kchunk * blk
-    -> (4, L, 1)."""
+                blk: int, kchunk: int):
+    """points (4, L, N), digits (W, N), N = n_chunks * kchunk * blk ->
+    (result (4, L, 1), is_identity (1,) int32)."""
     W, B = NUM_WINDOWS, NUM_BUCKETS
     n = points.shape[-1]
     n_chunks = n // (kchunk * blk)
-    consts = jnp.asarray(_CONSTS)
+    consts = jnp.asarray(PM.CONSTS)
 
     pts = points.reshape(4, L, n_chunks * kchunk, blk)
     digs = digits.reshape(W, n_chunks * kchunk, 1, blk)
@@ -292,7 +257,7 @@ def _msm_pallas(points: jnp.ndarray, digits: jnp.ndarray,
         _accum_kernel,
         grid=(W, n_chunks),
         in_specs=[
-            pl.BlockSpec((3, L, 1), lambda w, kc: (0, 0, 0),
+            pl.BlockSpec((PM.NCONST, L, 1), lambda w, kc: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, L, kchunk, blk), lambda w, kc: (0, 0, kc, 0),
                          memory_space=pltpu.VMEM),
@@ -310,7 +275,7 @@ def _msm_pallas(points: jnp.ndarray, digits: jnp.ndarray,
         _reduce_kernel,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((3, L, 1), lambda w: (0, 0, 0),
+            pl.BlockSpec((PM.NCONST, L, 1), lambda w: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 4, L, blk), lambda w: (w, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -321,14 +286,17 @@ def _msm_pallas(points: jnp.ndarray, digits: jnp.ndarray,
         interpret=_INTERPRET,
     )(consts, slabs)
 
-    return pl.pallas_call(
+    out, flag = pl.pallas_call(
         _horner_kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, L, 8), jnp.int32),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((4, L, 8), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 8), jnp.int32)],
         interpret=_INTERPRET,
-    )(consts, sums)[..., :1]
+    )(consts, sums)
+    return out[..., :1], flag[0, :1]
 
 
 def _pick_shape(n: int, blk: Optional[int] = None, kchunk: int = 8):
@@ -338,24 +306,31 @@ def _pick_shape(n: int, blk: Optional[int] = None, kchunk: int = 8):
     return padded, blk, kchunk
 
 
-def msm_lanes(points: jnp.ndarray, scalars, blk: Optional[int] = None) -> jnp.ndarray:
-    """MSM over device points (4, L, N) with host scalars / (N, 33) bytes
-    -> (4, L, 1) on device."""
+def msm_lanes_flag(points: jnp.ndarray, scalars, blk: Optional[int] = None):
+    """MSM over device points (4, L, N) -> (result (4, L, 1),
+    is_identity (1,) device flag)."""
     from . import vec_msm
     from . import vec_curve as C
 
     n = points.shape[-1]
-    if n == 0:
-        return C.identity((), 1)
     sbytes = scalars if isinstance(scalars, np.ndarray) else \
         vec_msm.scalars_to_bytes(scalars)
-    padded, blk, kchunk = _pick_shape(n)
+    padded, blk, kchunk = _pick_shape(n, blk)
     if padded != n:
         points = jnp.concatenate([points, C.identity((), padded - n)], axis=-1)
         sbytes = np.concatenate([sbytes, np.zeros((padded - n, 33), np.uint8)],
                                 axis=0)
     digits = device_digits4(jnp.asarray(np.ascontiguousarray(sbytes[:, :32])))
     return _msm_pallas(points, digits, blk, kchunk)
+
+
+def msm_lanes(points: jnp.ndarray, scalars, blk: Optional[int] = None) -> jnp.ndarray:
+    """MSM over device points (4, L, N) with host scalars / (N, 33) bytes
+    -> (4, L, 1) on device."""
+    from . import vec_curve as C
+    if points.shape[-1] == 0:
+        return C.identity((), 1)
+    return msm_lanes_flag(points, scalars, blk)[0]
 
 
 def msm(scalars, points, blk: Optional[int] = None):

@@ -208,21 +208,88 @@ def field_to_lanes(values) -> np.ndarray:
     return np.ascontiguousarray(ints_to_limbs(values).T)
 
 
+def _on_tpu() -> bool:
+    try:
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        return dev.platform == "tpu"
+    except Exception:
+        return False
+
+
+# static byte/shift schedule: limb k covers bits [13k, 13k + 13)
+_LIMB_BYTE = np.array([(13 * k) // 8 for k in range(L)], np.int32)
+_LIMB_OFF = np.array([(13 * k) % 8 for k in range(L)], np.int32)
+
+
+def device_limbs_from_bytes(raw: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) uint8 device array -> (L, N) int32 limb columns (on device;
+    replaces the host numpy unpackbits path at batch scale)."""
+    b = jnp.concatenate(
+        [raw, jnp.zeros((raw.shape[0], 2), jnp.uint8)], axis=1).astype(jnp.int32)
+    lo = b[:, _LIMB_BYTE]
+    mid = b[:, _LIMB_BYTE + 1]
+    hi = b[:, _LIMB_BYTE + 2]
+    val = (lo | (mid << 8) | (hi << 16)) >> jnp.asarray(_LIMB_OFF)[None, :]
+    return (val & ((1 << 13) - 1)).T
+
+
+def device_canonical_mask(raw: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) uint8 device array -> (N,) bool: canonical field encoding
+    (value < p = 2^255 - 19 and even)."""
+    b = raw.astype(jnp.int32)
+    top_clear = b[:, 31] < 128
+    ge_p = ((b[:, 31] == 127) & (b[:, 0] >= 237)
+            & jnp.all(b[:, 1:31] == 255, axis=1))
+    return top_clear & ~ge_p & ((b[:, 0] & 1) == 0)
+
+
 def compress_to_bytes(p: jnp.ndarray) -> np.ndarray:
-    """(4, L, N) -> (N, 32) uint8 on host."""
-    s = np.asarray(jax.device_get(_compress_jit(p)))
+    """(4, L, N) -> (N, 32) uint8 on host (fused Pallas kernel on TPU)."""
+    if _on_tpu() and p.shape[-1] % 256 == 0:
+        from . import msm_pallas
+        s = np.asarray(jax.device_get(msm_pallas.compress_lanes(p)))
+    else:
+        s = np.asarray(jax.device_get(_compress_jit(p)))
     return limbs_to_bytes(np.ascontiguousarray(s.T))
 
 
-def decompress_bytes(raw: np.ndarray):
-    """(N, 32) uint8 -> (valid (N,), points (4, L, N)); includes host
-    canonical-ness checks on the raw encodings."""
+def canonical_mask(raw: np.ndarray) -> np.ndarray:
+    """(N, 32) uint8 -> bool mask: encoding is canonical (< p, even)."""
     raw = np.asarray(raw, np.uint8)
-    vals = [int.from_bytes(raw[i].tobytes(), "little") for i in range(raw.shape[0])]
-    canonical = np.array([v < host_field.P and (v & 1) == 0 for v in vals])
-    limbs = np.ascontiguousarray(bytes_to_limbs(raw).T)
-    valid, pts = _decompress_jit(jnp.asarray(limbs))
-    return np.asarray(valid) & canonical, pts
+    # canonical iff value < p = 2^255 - 19 and low bit 0.  Compare from the
+    # top byte down, vectorized.
+    p_bytes = np.frombuffer(host_field.P.to_bytes(32, "little"), np.uint8)
+    lt = np.zeros(raw.shape[0], bool)
+    gt = np.zeros(raw.shape[0], bool)
+    for k in range(31, -1, -1):
+        lt = lt | (~gt & (raw[:, k] < p_bytes[k]))
+        gt = gt | (~lt & (raw[:, k] > p_bytes[k]))
+    return lt & ((raw[:, 0] & 1) == 0)
+
+
+_prep_decompress_jit = jax.jit(
+    lambda raw: (device_limbs_from_bytes(raw), device_canonical_mask(raw)))
+
+
+def decompress_device(raw_dev: jnp.ndarray):
+    """(N, 32) uint8 on device -> (valid (N,) bool device array, points
+    (4, L, N)).  Fully asynchronous: nothing is fetched to host, so callers
+    can overlap host work with the device decompression."""
+    limbs, canonical = _prep_decompress_jit(raw_dev)
+    if _on_tpu() and raw_dev.shape[0] % 256 == 0:
+        from . import msm_pallas
+        valid, pts = msm_pallas.decompress_lanes(limbs)
+    else:
+        valid, pts = _decompress_jit(limbs)
+    return valid & canonical, pts
+
+
+def decompress_bytes(raw: np.ndarray):
+    """(N, 32) uint8 -> (valid (N,) host bool array, points (4, L, N));
+    includes the canonical-ness checks (on device)."""
+    raw = np.ascontiguousarray(np.asarray(raw, np.uint8))
+    valid, pts = decompress_device(jnp.asarray(raw))
+    return np.asarray(jax.device_get(valid)), pts
 
 
 def from_uniform_bytes(raw: np.ndarray) -> jnp.ndarray:

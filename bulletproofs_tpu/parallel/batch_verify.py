@@ -9,14 +9,14 @@ equations per proof, src/range_proof/mod.rs:396,418-419) across *proofs*
 Each proof contributes 4 + 2*lg(nm) + m dynamic points (A, S, T_1, T_2,
 L_i, R_i, V_j); the 2nm + 2 static points (B, B~, G, H) are shared, their
 per-proof scalars summed host-side.  Dynamic points are batch-decompressed
-on device; the fused MSM runs single-chip (ops/vec_msm.py) or across a
-mesh (parallel/sharded_msm.py).  All device math uses the lane-major core
-(ops/vec_field.py layout).
+on device; the fused MSM runs single-chip (ops/msm_pallas.py on TPU,
+ops/vec_msm.py elsewhere) or across a mesh (parallel/sharded_msm.py).
 
-Host work per proof (transcript replay + verification scalars) is the
-sequential Fiat-Shamir part; it runs in native C++ when the extension is
-built (native/verify_prep.cpp, bit-identical to the Python path and
-cross-validated in tests) and in Python otherwise.
+The native path is a host/device pipeline: the dynamic point encodings are
+pure byte slices of the proofs, so device decompression is dispatched
+FIRST (asynchronously) and the sequential host work -- transcript replay +
+verification scalars in C++ (native/verify_prep.cpp, bit-identical to the
+Python path and cross-validated in tests) -- overlaps it.
 """
 
 from __future__ import annotations
@@ -46,12 +46,21 @@ def _load_native_prep():
     try:
         lib = ctypes.CDLL(so)
         lib.rangeproof_verify_prep.restype = ctypes.c_int
+        lib.rangeproof_verify_prep_batch.restype = ctypes.c_int
         return lib
     except (OSError, AttributeError):
         return None
 
 
 _NATIVE_PREP = _load_native_prep()
+
+
+def _pad_quantum(n_dyn: int) -> int:
+    """Decompression batch padding so compiled programs are reused across
+    batch sizes (the all-zero encoding is valid, scalar 0)."""
+    if n_dyn <= 2048:
+        return 1 << max(0, (n_dyn - 1)).bit_length()
+    return -(-n_dyn // 4096) * 4096
 
 
 class BatchVerifier:
@@ -71,6 +80,8 @@ class BatchVerifier:
         self._static_dev = jnp.asarray(C.points_to_lanes(static_host))
         self._num_static = len(static_host)
 
+    # -- public API ----------------------------------------------------------
+
     def verify_batch(self, proofs: Sequence, value_commitments: List[List[bytes]],
                      transcripts: List[Transcript], rng=None) -> None:
         """Verify all proofs or raise ProofError.
@@ -82,37 +93,114 @@ class BatchVerifier:
         MSMs instead of one per proof).
         """
         rng = rng or _SystemRandom()
-        np_proofs = len(proofs)
-        assert np_proofs == len(value_commitments) == len(transcripts)
-
+        assert len(proofs) == len(value_commitments) == len(transcripts)
         if self.use_native:
-            dyn_blob, static_acc, dyn_bytes = self._prep_native(
-                proofs, value_commitments, transcripts, rng)
-            dyn_scalars = np.frombuffer(dyn_blob, np.uint8).reshape(-1, 32)
+            self._verify_native(proofs, value_commitments, transcripts, rng)
         else:
-            dyn_ints = []
-            dyn_bytes = []
-            static_acc = [0] * self._num_static
-            for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
-                dyn_s, static_s, dyn_pts = proof.verification_scalars_ints(
-                    self.bp_gens, self.pc_gens, transcript, vcs, self.n, rng=rng)
-                r = int.from_bytes(rng.randbytes(64), "little") % L
-                dyn_ints.extend(r * s % L for s in dyn_s)
-                dyn_bytes.extend(dyn_pts)
-                for j, s in enumerate(static_s):
-                    static_acc[j] = (static_acc[j] + r * s) % L
-            dyn_scalars = vec_msm.scalars_to_bytes(dyn_ints)[:, :32]
+            self._verify_python(proofs, value_commitments, transcripts, rng)
 
-        # pad the decompression batch to a shape quantum so compiled programs
-        # are reused across batch sizes (identity encodings are valid, scalar 0)
-        n_dyn = len(dyn_bytes)
-        if n_dyn <= 2048:
-            padded = 1 << max(0, (n_dyn - 1)).bit_length()
+    # -- native pipelined path -------------------------------------------------
+
+    def _verify_native(self, proofs, value_commitments, transcripts, rng):
+        import ctypes
+
+        n, m = self.n, self.m
+        nm = n * m
+        lg = nm.bit_length() - 1
+        n_dyn_per = 4 + 2 * lg + m
+        count = len(proofs)
+        plen = 32 * (9 + 2 * lg)
+
+        # 1. serialize: proof blobs + dynamic point encodings (byte slices;
+        #    no scalar math needed yet)
+        pblobs = []
+        for proof, vcs in zip(proofs, value_commitments):
+            if len(vcs) != m or len(proof.ipp_proof.L_vec) != lg:
+                raise ProofError.verification()
+            pb = proof.to_bytes()
+            assert len(pb) == plen
+            pblobs.append(pb)
+        proofs_blob = b"".join(pblobs)
+        vcs_blob = b"".join(b"".join(v) for v in value_commitments)
+
+        parr = np.frombuffer(proofs_blob, np.uint8).reshape(count, plen)
+        lr = parr[:, 224: 224 + 64 * lg].reshape(count, lg, 2, 32)
+        varr = np.frombuffer(vcs_blob, np.uint8).reshape(count, m, 32)
+        dyn_pts_arr = np.concatenate(
+            [parr[:, :128].reshape(count, 4, 32), lr[:, :, 0], lr[:, :, 1],
+             varr], axis=1).reshape(count * n_dyn_per, 32)
+
+        # 2. dispatch device decompression (asynchronous)
+        n_dyn = dyn_pts_arr.shape[0]
+        padded = _pad_quantum(n_dyn)
+        raw = np.zeros((padded, 32), np.uint8)
+        raw[:n_dyn] = dyn_pts_arr
+        valid_dev, dyn_pts = C.decompress_device(jnp.asarray(raw))
+
+        # 3. host scalar prep (C++; overlaps the device work above)
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts), strobe_size * count)
+        cr = rng.randbytes(128 * count)
+        dyn_out = ctypes.create_string_buffer(32 * n_dyn_per * count)
+        static_buf = ctypes.create_string_buffer(32 * self._num_static)
+        rc = _NATIVE_PREP.rangeproof_verify_prep_batch(
+            strobes, ctypes.c_size_t(strobe_size),
+            proofs_blob, ctypes.c_size_t(plen), vcs_blob,
+            ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(count),
+            cr, dyn_out, static_buf)
+        if rc != 0:
+            raise ProofError.verification()
+        # write the replayed transcript states back (reference semantics:
+        # verification advances the caller's transcript)
+        for i, t in enumerate(transcripts):
+            t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
+
+        # 4. fused MSM + identity/validity check (single device fetch)
+        sbytes = np.zeros((padded + self._num_static, 33), np.uint8)
+        sbytes[:n_dyn, :32] = np.frombuffer(dyn_out.raw, np.uint8).reshape(-1, 32)
+        sbytes[padded:, :32] = np.frombuffer(static_buf.raw,
+                                             np.uint8).reshape(-1, 32)
+        all_points = jnp.concatenate([dyn_pts, self._static_dev], axis=-1)
+
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from .sharded_msm import sharded_msm_lanes
+            result = sharded_msm_lanes(all_points, sbytes, self.mesh)
+            flag = C._is_identity_jit(result)
         else:
-            padded = -(-n_dyn // 4096) * 4096
-        dyn_bytes = list(dyn_bytes) + [bytes(32)] * (padded - n_dyn)
+            from ..ops import msm_pallas
+            if vec_msm.on_tpu():
+                _, flag = msm_pallas.msm_lanes_flag(all_points, sbytes)
+            else:
+                result = vec_msm.msm_lanes(all_points, sbytes)
+                flag = C._is_identity_jit(result)
+        all_valid, ok = jax.device_get((jnp.all(valid_dev), flag))
+        if not (bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])):
+            raise ProofError.verification()
 
-        raw = np.frombuffer(b"".join(dyn_bytes), np.uint8).reshape(-1, 32)
+    # -- pure-Python path (CPU tests / native lib unavailable) ---------------
+
+    def _verify_python(self, proofs, value_commitments, transcripts, rng):
+        dyn_ints = []
+        dyn_bytes = []
+        static_acc = [0] * self._num_static
+        for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
+            if len(vcs) != self.m:
+                raise ProofError.verification()
+            dyn_s, static_s, dyn_pts = proof.verification_scalars_ints(
+                self.bp_gens, self.pc_gens, transcript, vcs, self.n, rng=rng)
+            r = int.from_bytes(rng.randbytes(64), "little") % L
+            dyn_ints.extend(r * s % L for s in dyn_s)
+            dyn_bytes.extend(dyn_pts)
+            for j, s in enumerate(static_s):
+                static_acc[j] = (static_acc[j] + r * s) % L
+        dyn_scalars = vec_msm.scalars_to_bytes(dyn_ints)[:, :32]
+        dyn_pts_arr = np.frombuffer(b"".join(dyn_bytes), np.uint8).reshape(-1, 32)
+
+        n_dyn = dyn_pts_arr.shape[0]
+        padded = _pad_quantum(n_dyn)
+        raw = np.zeros((padded, 32), np.uint8)
+        raw[:n_dyn] = dyn_pts_arr
         valid, dyn_pts = C.decompress_bytes(raw)
         if not valid.all():
             raise ProofError.verification()
@@ -129,42 +217,8 @@ class BatchVerifier:
             result = sharded_msm_lanes(all_points, sbytes, self.mesh)
         else:
             result = vec_msm.msm_lanes_auto(all_points, sbytes)
-
         if not bool(np.asarray(jax.device_get(C._is_identity_jit(result)))[0]):
             raise ProofError.verification()
-
-    def _prep_native(self, proofs, value_commitments, transcripts, rng):
-        """C++ per-proof prep: returns (dyn_scalar_blob, static_acc list,
-        dyn_point_bytes list)."""
-        import ctypes
-
-        n, m = self.n, self.m
-        nm = n * m
-        lg = (nm).bit_length() - 1
-        n_dyn = 4 + 2 * lg + m
-        dyn_blob = bytearray()
-        dyn_bytes: List[bytes] = []
-        static_buf = ctypes.create_string_buffer(32 * self._num_static)
-
-        for proof, vcs, transcript in zip(proofs, value_commitments, transcripts):
-            if len(vcs) != m or len(proof.ipp_proof.L_vec) != lg:
-                raise ProofError.verification()
-            pb = proof.to_bytes()
-            dyn_out = ctypes.create_string_buffer(32 * n_dyn)
-            rc = _NATIVE_PREP.rangeproof_verify_prep(
-                transcript.strobe.buf, pb, len(pb), b"".join(vcs),
-                ctypes.c_uint64(n), ctypes.c_uint64(m),
-                rng.randbytes(64), rng.randbytes(64), dyn_out, static_buf)
-            if rc != 0:
-                raise ProofError.verification()
-            dyn_blob += dyn_out.raw
-            dyn_bytes.extend([proof.A, proof.S, proof.T_1, proof.T_2]
-                             + proof.ipp_proof.L_vec + proof.ipp_proof.R_vec
-                             + list(vcs))
-
-        static_acc = [int.from_bytes(static_buf.raw[32 * j: 32 * (j + 1)], "little")
-                      for j in range(self._num_static)]
-        return bytes(dyn_blob), static_acc, dyn_bytes
 
 
 class _SystemRandom:

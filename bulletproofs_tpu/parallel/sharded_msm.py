@@ -63,7 +63,7 @@ def _sharded_msm_pallas(points, digits4, blk, kchunk, *, mesh):
     axis = mesh.axis_names[0]
 
     def local(points_shard, digits_shard):
-        partial = msm_pallas._msm_pallas.__wrapped__(
+        partial, _ = msm_pallas._msm_pallas.__wrapped__(
             points_shard, digits_shard, blk, kchunk)     # (4, L, 1)
         gathered = jax.lax.all_gather(partial, axis, axis=2, tiled=True)
         acc = gathered[:, :, :1]

@@ -325,11 +325,17 @@ int rangeproof_verify_prep(Strobe* strobe, const uint8_t* proof,
   std::memcpy(a.v, ab, 32);
   std::memcpy(b.v, ab + 32, 32);
 
-  // batch inversion of challenges
+  // one shared Fermat inversion for (prod_u * y): allinv = prod_u^-1 and
+  // y_inv = y^-1 both derive from it (sc_invert dominates host prep cost)
   Sc prod = {{1, 0, 0, 0}};
   for (int i = 0; i < lg; ++i) sc_mul(prod, prod, u[i]);
+  Sc prod_y, prod_y_inv;
+  sc_mul(prod_y, prod, y);
+  sc_invert(prod_y_inv, prod_y);
   Sc allinv;
-  sc_invert(allinv, prod);
+  sc_mul(allinv, prod_y_inv, y);
+  Sc y_inv;
+  sc_mul(y_inv, prod_y_inv, prod);
   Sc* uinv = new Sc[lg];
   {
     // suffix products
@@ -365,8 +371,6 @@ int rangeproof_verify_prep(Strobe* strobe, const uint8_t* proof,
   Sc zz, minus_z;
   sc_mul(zz, z, z);
   sc_neg(minus_z, z);
-  Sc y_inv;
-  sc_invert(y_inv, y);
 
   // dyn scalars: [1, x, c*x, c*x*x] + u_sq + u_inv_sq + vc_scalars
   Sc one = {{1, 0, 0, 0}};
@@ -490,6 +494,37 @@ int rangeproof_verify_prep(Strobe* strobe, const uint8_t* proof,
   delete[] u_sq;
   delete[] u_inv_sq;
   delete[] s;
+  return 0;
+}
+
+// Batched variant: `count` proofs sharing (n, m).  One call from Python
+// replaces per-proof ctypes dispatch (the host-prep hot loop in
+// parallel/batch_verify.py).
+//   strobes:    count * sizeof(Strobe) transcript states (each already
+//               initialized with its proof's label); mutated in place
+//   proofs:     count * proof_len bytes
+//   vcs:        count * m * 32 bytes
+//   cr_wides:   count * 128 bytes: per proof 64B c-wide then 64B r-wide
+//   dyn_out:    count * (4 + 2*lg(nm) + m) * 32 bytes
+//   static_acc: (2 + 2*n*m) * 32 bytes, accumulated across all proofs
+// Returns 0 on success, or 100 + index of the first failing proof.
+int rangeproof_verify_prep_batch(uint8_t* strobes, size_t strobe_stride,
+                                 const uint8_t* proofs,
+                                 size_t proof_len, const uint8_t* vcs,
+                                 u64 n, u64 m, u64 count,
+                                 const uint8_t* cr_wides,
+                                 uint8_t* dyn_out, uint8_t* static_acc) {
+  u64 nm = n * m;
+  int lg = 0;
+  while ((1ULL << lg) < nm) ++lg;
+  const size_t dyn_sz = 32 * (4 + 2 * (size_t)lg + m);
+  for (u64 i = 0; i < count; ++i) {
+    int rc = rangeproof_verify_prep(
+        (Strobe*)(strobes + i * strobe_stride), proofs + i * proof_len,
+        proof_len, vcs + i * 32 * m, n, m, cr_wides + i * 128,
+        cr_wides + i * 128 + 64, dyn_out + i * dyn_sz, static_acc);
+    if (rc != 0) return 100 + (int)i;
+  }
   return 0;
 }
 
