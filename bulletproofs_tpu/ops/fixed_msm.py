@@ -1,0 +1,306 @@
+"""Batched fixed-base MSM: many outputs over one shared base set.
+
+This is the prover-side point engine (reference call sites: every
+commitment and IPP L/R MSM in src/range_proof/party.rs,
+src/range_proof/dealer.rs, src/inner_product_proof.rs).  The TPU-first
+observation is that ALL prover point work is fixed-base: commitments use
+the Pedersen/Bulletproof generators directly, and the IPP's L_k/R_k --
+normally MSMs over *folded* per-proof generator vectors -- expand over the
+ORIGINAL generators with challenge-product coefficients (the same identity
+`verification_scalars` exploits, src/inner_product_proof.rs:198-253).  So
+one engine serves the whole prover, and the bases are shared across every
+proof in a batch and every protocol stage.
+
+Shape of the computation: out[q] = sum_j coef[q, j] * Base_j for Q output
+rows over NB bases.  Device algorithm:
+
+* precompute tables T[j, w] = 2^(4w) * Base_j once per base set (W = 64
+  doubling steps of the whole base row), batch-normalize Z -> 1 (one
+  Fermat inversion chain over all NB*W points), and store in **Niels form**
+  (Y+X, Y-X, 2d*T): the bucket accumulation then uses 7-mul mixed
+  additions instead of 9-mul general ones, and no Horner doubling tail
+  exists at all -- window weights live in the tables;
+* the kernel streams the NB*W (table point, digit) pairs serially per
+  output lane, accumulating a 16-bucket VMEM slab (4-bit unsigned digits,
+  dense one-hot mux as in ops/msm_pallas.py); outputs stay per-lane;
+* a second kernel does the weighted bucket reduction (double suffix scan)
+  per output lane.
+
+Host fallback (CPU tests): the same coefficient matrices evaluated with
+the host Pippenger oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_math as PM
+from . import vec_curve as C
+from . import vec_field as F
+from .limbs import NLIMBS
+
+L = NLIMBS
+WINDOW_BITS = 4
+NUM_WINDOWS = 64
+NUM_BUCKETS = 16
+
+_INTERPRET = False
+
+
+# --------------------------------------------------------------------------
+# table precompute (XLA, one-time per base set)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _make_tables(points: jnp.ndarray) -> jnp.ndarray:
+    """(4, L, NB) bases -> (NB * W, 3, L, 1) Niels-form table stream,
+    stream index s = j * W + w holding 2^(4w) * Base_j as
+    (Y+X, Y-X, 2d*T) with Z normalized to 1."""
+    nb = points.shape[-1]
+
+    def dbl4(_, p):
+        for _ in range(WINDOW_BITS):
+            p = C.double(p)
+        return p
+
+    # all window multiples: rows[w] = 2^(4w) * bases  -- sequential doubling
+    def step(p, _):
+        return dbl4(None, p), p
+
+    _, rows = jax.lax.scan(step, points, None, length=NUM_WINDOWS)
+    # rows: (W, 4, L, NB) -> stream (NB * W): s = j * W + w
+    pts = jnp.transpose(rows, (3, 0, 1, 2)).reshape(nb * NUM_WINDOWS, 4, L)
+    pts = jnp.transpose(pts, (1, 2, 0))              # (4, L, NB*W)
+
+    X, Y, Z, T = pts[0], pts[1], pts[2], pts[3]
+    zinv = F.invert(Z)
+    x = F.mul(X, zinv)
+    y = F.mul(Y, zinv)
+    t = F.mul(x, y)
+    d2 = jnp.asarray(C.const("d2"))
+    niels = jnp.stack([F.add(y, x), F.sub(y, x), F.mul(t, d2)])  # (3, L, S)
+    return niels[..., None]                            # (3, L, S, 1)
+
+
+class FixedBaseTables:
+    """Device-resident window tables for a fixed base list."""
+
+    def __init__(self, points_host: Sequence):
+        self.num_bases = len(points_host)
+        lanes = jnp.asarray(C.points_to_lanes(points_host))
+        self.host_points = list(points_host)
+        if _on_tpu():
+            self.niels = jax.block_until_ready(_make_tables(lanes))
+        else:
+            self.niels = None
+
+
+def _on_tpu() -> bool:
+    try:
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        return dev.platform == "tpu"
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+def _mixed_add(cur, pre):
+    """cur (X, Y, Z, T) + precomputed (Y+X, Y-X, 2dT) with Z2 = 1."""
+    X1, Y1, Z1, T1 = cur
+    YpX, YmX, Td2 = pre
+    A = PM.fmul(PM.fsub(Y1, X1), YmX)
+    B = PM.fmul(PM.fadd(Y1, X1), YpX)
+    Cv = PM.fmul(T1, Td2)
+    Dv = PM.fmul_small(Z1, 2)
+    E = PM.fsub(B, A)
+    Fv = PM.fsub(Dv, Cv)
+    G = PM.fadd(Dv, Cv)
+    H = PM.fadd(B, A)
+    return (PM.fmul(E, Fv), PM.fmul(G, H), PM.fmul(Fv, G), PM.fmul(E, H))
+
+
+def _fixed_accum_kernel(consts_ref, niels_ref, digs_ref, out_ref, slab):
+    """Grid (n_qblk, n_chunks).  niels (3, L, KCH, 1) stream chunk (shared
+    across lanes); digs (KCH, 1, QBLK); slab scratch (B, 4, L, QBLK)
+    persists across chunks; out (1, B, 4, L, QBLK) flushed on the last."""
+    PM.bind_consts(consts_ref)
+    ck = pl.program_id(1)
+    n_ck = pl.num_programs(1)
+    KCH = niels_ref.shape[2]
+    qblk = slab.shape[-1]
+
+    @pl.when(ck == 0)
+    def _init():
+        zero = jnp.zeros((L, qblk), jnp.int32)
+        one = jnp.concatenate([jnp.ones((1, qblk), jnp.int32), zero[1:]], axis=0)
+        ident = jnp.stack([zero, one, one, zero])
+        for b in range(NUM_BUCKETS):
+            slab[b] = ident
+
+    def step(k, _):
+        # materialize the shared table point at full lane width once --
+        # (L, 1) operands inside fmul lower to per-slice broadcasts that
+        # Mosaic handles very slowly
+        pre = tuple(jnp.broadcast_to(niels_ref[c, :, k, :], (L, qblk))
+                    for c in range(3))
+        d = digs_ref[k]                                            # (1, QBLK)
+        masks = [d == b for b in range(NUM_BUCKETS)]
+        cur = [jnp.zeros((L, qblk), jnp.int32) for _ in range(4)]
+        for b in range(NUM_BUCKETS):
+            sb = slab[b]
+            m = masks[b]
+            for c in range(4):
+                cur[c] = cur[c] + jnp.where(m, sb[c], 0)
+        new = _mixed_add(tuple(cur), pre)
+        for b in range(NUM_BUCKETS):
+            sb = slab[b]
+            m = masks[b]
+            slab[b] = jnp.stack([jnp.where(m, new[c], sb[c]) for c in range(4)])
+        return 0
+
+    jax.lax.fori_loop(0, KCH, step, 0)
+
+    @pl.when(ck == n_ck - 1)
+    def _flush():
+        out_ref[0] = slab[:]
+
+
+def _fixed_reduce_kernel(consts_ref, slab_ref, out_ref):
+    """Grid (n_qblk,).  slab (1, B, 4, L, QBLK) -> out (1, 4, L, QBLK):
+    per-lane weighted bucket sum via double suffix scan."""
+    PM.bind_consts(consts_ref)
+    B = slab_ref.shape[1]
+    t = tuple(slab_ref[0, :, c] for c in range(4))     # (B, L, QBLK)
+
+    def suffix(v):
+        sh = 1
+        while sh < B:
+            ident = PM.identity_tuple((sh,) + v[0].shape[1:])
+            shifted = tuple(jnp.concatenate([x[sh:], ident[c]], axis=0)
+                            for c, x in enumerate(v))
+            v = PM.ed_add(v, shifted)
+            sh *= 2
+        return v
+
+    t = suffix(suffix(t))
+    out_ref[0] = jnp.stack(tuple(x[1] for x in t))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _fixed_msm(niels: jnp.ndarray, digits: jnp.ndarray, consts: jnp.ndarray,
+               qblk: int, kchunk: int) -> jnp.ndarray:
+    """niels (3, L, S, 1); digits (S, Q) -> (4, L, Q) output points."""
+    S = niels.shape[2]
+    Q = digits.shape[-1]
+    B = NUM_BUCKETS
+    n_qblk = Q // qblk
+    n_chunks = S // kchunk
+    digs = digits.reshape(S, 1, Q)
+
+    slabs = pl.pallas_call(
+        _fixed_accum_kernel,
+        grid=(n_qblk, n_chunks),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda qb, ck: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, kchunk, 1), lambda qb, ck: (0, 0, ck, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kchunk, 1, qblk), lambda qb, ck: (ck, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, 4, L, qblk), lambda qb, ck: (qb, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_qblk, B, 4, L, qblk), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, 4, L, qblk), jnp.int32)],
+        interpret=_INTERPRET,
+    )(consts, niels, digs)
+
+    out = pl.pallas_call(
+        _fixed_reduce_kernel,
+        grid=(n_qblk,),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda qb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 4, L, qblk), lambda qb: (qb, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, L, qblk), lambda qb: (qb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_qblk, 4, L, qblk), jnp.int32),
+        interpret=_INTERPRET,
+    )(consts, slabs)
+    return jnp.transpose(out, (1, 2, 0, 3)).reshape(4, L, Q)
+
+
+def digits_from_bytes(coef_bytes: np.ndarray) -> np.ndarray:
+    """(Q, NB, 32) uint8 scalar bytes -> (NB*W, Q) uint8 4-bit digit stream
+    (host numpy; used by tests/fallbacks -- the device path extracts digits
+    on device, see _device_digit_stream)."""
+    q, nb, _ = coef_bytes.shape
+    lo = coef_bytes & 15
+    hi = coef_bytes >> 4
+    d = np.stack([lo, hi], axis=3).reshape(q, nb, 64)   # (Q, NB, W)
+    return np.ascontiguousarray(d.reshape(q, nb * 64).T)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _device_digit_stream(coef_bytes: jnp.ndarray, pad_s: int, pad_q: int) -> jnp.ndarray:
+    """(Q, NB, 32) uint8 on device -> (NB*64 + pad_s, Q + pad_q) int32
+    digit stream (s = j * 64 + w); padding is digit 0 / ignored."""
+    q, nb, _ = coef_bytes.shape
+    b = coef_bytes.astype(jnp.int32)
+    d = jnp.stack([b & 15, b >> 4], axis=3).reshape(q, nb * 64).T
+    if pad_s:
+        d = jnp.concatenate([d, jnp.zeros((pad_s, q), jnp.int32)], axis=0)
+    if pad_q:
+        d = jnp.concatenate([d, jnp.zeros((d.shape[0], pad_q), jnp.int32)],
+                            axis=1)
+    return d
+
+
+def msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray,
+             qblk: int = 512, kchunk: int = 16):
+    """coef_bytes (Q, NB, 32) -> (4, L, Q) device points (Q padded up to a
+    qblk multiple internally; caller slices)."""
+    qn, nb, _ = coef_bytes.shape
+    assert nb == tables.num_bases
+    if tables.niels is None:
+        return _host_msm_rows(tables, coef_bytes)
+    s = nb * NUM_WINDOWS
+    pad_s = (-s) % kchunk
+    if qn < qblk:
+        qblk = max(256, 1 << max(0, qn - 1).bit_length())
+    pad_q = (-qn) % qblk
+    digits = _device_digit_stream(
+        jnp.asarray(np.ascontiguousarray(coef_bytes)), pad_s, pad_q)
+    niels = tables.niels
+    if pad_s:
+        ident = jnp.zeros((3, niels.shape[1], pad_s, 1), jnp.int32)
+        # Niels identity: (Y+X, Y-X, 2dT) = (1, 1, 0)
+        ident = ident.at[0, 0].set(1).at[1, 0].set(1)
+        niels = jnp.concatenate([niels, ident], axis=2)
+    out = _fixed_msm(niels, digits, jnp.asarray(PM.CONSTS), qblk, kchunk)
+    return out[..., :qn]
+
+
+def _host_msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray):
+    """CPU-test fallback: host Pippenger per output row."""
+    from ..core.ristretto import multiscalar_mul
+    from ..core.scalar import Scalar
+
+    rows = []
+    for q in range(coef_bytes.shape[0]):
+        scalars = [Scalar(int.from_bytes(coef_bytes[q, j].tobytes(), "little"))
+                   for j in range(tables.num_bases)]
+        rows.append(multiscalar_mul(scalars, tables.host_points))
+    return jnp.asarray(C.points_to_lanes(rows))

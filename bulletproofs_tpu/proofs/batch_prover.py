@@ -1,0 +1,177 @@
+"""Batched range proving: many proofs driven through the TPU at once.
+
+The reference proves one statement at a time on the CPU
+(src/range_proof/mod.rs:234-288, ~7.3 ms per 64-bit proof).  This driver is
+the TPU-native counterpart: a host/device pipeline proving a whole batch of
+single-party proofs (m = 1) together.
+
+Split of labor (SURVEY.md §7 architecture principle):
+
+* device (ops/fixed_msm.py): every point operation, as batched fixed-base
+  MSMs over [B, B~, G.., H..] -- commitments directly, and the IPP L_k/R_k
+  via challenge-product coefficients over the ORIGINAL generators (no point
+  folding; the prover-side mirror of `verification_scalars`);
+* host (native/prove_prep.cpp): Fiat-Shamir transcripts and all mod-l
+  scalar vector math (l/r polynomials, t-poly, IPP folds, coefficient
+  matrices), one batched C++ call per protocol stage.
+
+Wire format and transcript semantics are identical to the single-proof
+path: outputs verify with RangeProof.verify_single / BatchVerifier and are
+bit-compatible with the reference crate.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import secrets
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.scalar import Scalar
+from ..errors import MPCError
+from ..generators import BulletproofGens, PedersenGens
+from ..ops import vec_curve as C
+from ..ops import fixed_msm
+from ..transcript import Transcript
+from .ipp import InnerProductProof
+from .rangeproof import RangeProof
+
+
+def _load_native():
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "libbptranscript.so")
+    try:
+        lib = ctypes.CDLL(so)
+        lib.rp_state_size.restype = ctypes.c_uint64
+        for fn in ("rp_prove_stage0", "rp_prove_stage1", "rp_prove_stage2",
+                   "rp_prove_round_coefs", "rp_prove_round_absorb",
+                   "rp_prove_finish"):
+            getattr(lib, fn).restype = ctypes.c_int
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+_NATIVE = _load_native()
+
+
+class BatchProver:
+    """Caches device tables for (n, m=1) and proves batches of single-value
+    range proofs."""
+
+    def __init__(self, bp_gens: BulletproofGens, pc_gens: PedersenGens, n: int):
+        if n not in (8, 16, 32, 64):
+            raise MPCError(MPCError.INVALID_BITSIZE)
+        if _NATIVE is None:
+            raise RuntimeError("native prove engine unavailable "
+                               "(build native/libbptranscript.so)")
+        self.n = n
+        self.bp_gens = bp_gens
+        self.pc_gens = pc_gens
+        bases = [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, 1) + bp_gens.H(n, 1)
+        self.nb = len(bases)
+        self.tables = fixed_msm.FixedBaseTables(bases)
+        self.tables_bb = fixed_msm.FixedBaseTables(bases[:2])
+
+    def prove_batch(self, values: Sequence[int], blindings: Sequence[Scalar],
+                    transcripts: List[Transcript], rng=None
+                    ) -> Tuple[List[RangeProof], List[bytes]]:
+        """Prove one n-bit statement per transcript.  Returns (proofs,
+        value_commitments); each proof verifies against its transcript label
+        exactly like RangeProof.prove_single's output."""
+        rng = rng or _SystemRandom()
+        n, nb = self.n, self.nb
+        count = len(values)
+        assert count == len(blindings) == len(transcripts)
+        for v in values:
+            if v < 0 or v >> n:
+                raise ValueError(f"value out of range for {n}-bit proof")
+
+        state = ctypes.create_string_buffer(_NATIVE.rp_state_size(n) * count)
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts),
+            strobe_size * count)
+
+        # stage 0: blindings -> V/A/S coefficients -> device MSM + compress
+        vals = (ctypes.c_uint64 * count)(*[int(v) for v in values])
+        vblind = b"".join(b.to_bytes() for b in blindings)
+        rand0 = rng.randbytes(count * (2 + 2 * n) * 64)
+        coef0 = np.zeros((3 * count, nb, 32), np.uint8)
+        rc = _NATIVE.rp_prove_stage0(
+            ctypes.c_uint64(count), ctypes.c_uint64(n), vals, vblind, rand0,
+            state, coef0.ctypes.data_as(ctypes.c_char_p))
+        assert rc == 0
+        vas = C.compress_to_bytes(fixed_msm.msm_rows(self.tables, coef0))
+
+        # stage 1: y, z; l/r polys; T1/T2 coefficients
+        rand1 = rng.randbytes(count * 128)
+        coef1 = np.zeros((2 * count, 2, 32), np.uint8)
+        rc = _NATIVE.rp_prove_stage1(
+            ctypes.c_uint64(count), ctypes.c_uint64(n), strobes,
+            ctypes.c_size_t(strobe_size), vas.tobytes(), rand1, state,
+            coef1.ctypes.data_as(ctypes.c_char_p))
+        assert rc == 0
+        tb = C.compress_to_bytes(fixed_msm.msm_rows(self.tables_bb, coef1))
+
+        # stage 2: x; share scalars; w; IPP init
+        rc = _NATIVE.rp_prove_stage2(
+            ctypes.c_uint64(count), ctypes.c_uint64(n), strobes,
+            ctypes.c_size_t(strobe_size), tb.tobytes(), state)
+        assert rc == 0
+
+        # IPP rounds
+        L_rows, R_rows = [], []
+        nk = n
+        coefr = np.zeros((2 * count, nb, 32), np.uint8)
+        while nk > 1:
+            rc = _NATIVE.rp_prove_round_coefs(
+                ctypes.c_uint64(count), ctypes.c_uint64(n),
+                ctypes.c_uint64(nk), state,
+                coefr.ctypes.data_as(ctypes.c_char_p))
+            assert rc == 0
+            lr = C.compress_to_bytes(fixed_msm.msm_rows(self.tables, coefr))
+            L_rows.append(lr[:count])
+            R_rows.append(lr[count:])
+            rc = _NATIVE.rp_prove_round_absorb(
+                ctypes.c_uint64(count), ctypes.c_uint64(n),
+                ctypes.c_uint64(nk), strobes, ctypes.c_size_t(strobe_size),
+                lr.tobytes(), state)
+            assert rc == 0
+            nk //= 2
+
+        scal = ctypes.create_string_buffer(count * 5 * 32)
+        rc = _NATIVE.rp_prove_finish(ctypes.c_uint64(count),
+                                     ctypes.c_uint64(n), state, scal)
+        assert rc == 0
+
+        # transcripts advanced in place (reference semantics)
+        for i, t in enumerate(transcripts):
+            t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
+
+        proofs, vcs = [], []
+        sraw = scal.raw
+        for p in range(count):
+            off = p * 160
+            ipp = InnerProductProof(
+                L_vec=[bytes(L_rows[k][p]) for k in range(len(L_rows))],
+                R_vec=[bytes(R_rows[k][p]) for k in range(len(R_rows))],
+                a=Scalar.from_canonical_bytes(sraw[off + 96: off + 128]),
+                b=Scalar.from_canonical_bytes(sraw[off + 128: off + 160]))
+            proofs.append(RangeProof(
+                A=bytes(vas[count + p]), S=bytes(vas[2 * count + p]),
+                T_1=bytes(tb[p]), T_2=bytes(tb[count + p]),
+                t_x=Scalar.from_canonical_bytes(sraw[off: off + 32]),
+                t_x_blinding=Scalar.from_canonical_bytes(sraw[off + 32: off + 64]),
+                e_blinding=Scalar.from_canonical_bytes(sraw[off + 64: off + 96]),
+                ipp_proof=ipp))
+            vcs.append(bytes(vas[p]))
+        return proofs, vcs
+
+
+class _SystemRandom:
+    @staticmethod
+    def randbytes(n: int) -> bytes:
+        return secrets.token_bytes(n)

@@ -1,0 +1,67 @@
+"""Batch prover vs the reference-validated verifier (CPU path: the C++
+scalar stages drive the host Pippenger oracle instead of the TPU kernels)."""
+
+import pytest
+
+from bulletproofs_tpu import (BulletproofGens, PedersenGens, RangeProof,
+                              Transcript, Scalar, ProofError)
+from bulletproofs_tpu.proofs.batch_prover import BatchProver, _NATIVE
+
+pytestmark = pytest.mark.skipif(_NATIVE is None,
+                                reason="native prove engine not built")
+
+BP = BulletproofGens(64, 1)
+PC = PedersenGens()
+
+
+def test_batch_prove_verifies_individually(rng):
+    n, count = 8, 3
+    prover = BatchProver(BP, PC, n)
+    values = [0, 1, (1 << n) - 1]
+    blinds = [Scalar.random(rng) for _ in range(count)]
+    labels = [b"bpv %d" % i for i in range(count)]
+    proofs, vcs = prover.prove_batch(values, blinds,
+                                     [Transcript(l) for l in labels], rng=rng)
+    for i in range(count):
+        proofs[i].verify_single(BP, PC, Transcript(labels[i]), vcs[i], n)
+    # wire roundtrip
+    p = RangeProof.from_bytes(proofs[1].to_bytes())
+    p.verify_single(BP, PC, Transcript(labels[1]), vcs[1], n)
+    # wrong transcript rejected
+    with pytest.raises(ProofError):
+        proofs[0].verify_single(BP, PC, Transcript(b"other"), vcs[0], n)
+
+
+def test_batch_prove_matches_host_prover_semantics(rng):
+    """Same transcript label: a batch-proved proof and a host-proved proof
+    both verify against the same verifier flow (proof bytes differ only by
+    blinding randomness)."""
+    n = 8
+    prover = BatchProver(BP, PC, n)
+    proofs, vcs = prover.prove_batch([37], [Scalar.random(rng)],
+                                     [Transcript(b"same label")], rng=rng)
+    host_p, host_vcs = RangeProof.prove_multiple(
+        BP, PC, Transcript(b"same label"), [37], [Scalar.random(rng)], n, rng=rng)
+    proofs[0].verify_single(BP, PC, Transcript(b"same label"), vcs[0], n)
+    host_p.verify_single(BP, PC, Transcript(b"same label"), host_vcs[0], n)
+    assert len(proofs[0].to_bytes()) == len(host_p.to_bytes())
+
+
+def test_batch_prove_rejects_out_of_range(rng):
+    prover = BatchProver(BP, PC, 8)
+    with pytest.raises(ValueError):
+        prover.prove_batch([1 << 8], [Scalar.random(rng)],
+                           [Transcript(b"x")], rng=rng)
+
+
+def test_batch_prove_transcript_advances(rng):
+    """Prover and verifier transcripts end in the same state (protocol
+    composability, reference semantics)."""
+    n = 8
+    prover = BatchProver(BP, PC, n)
+    t_prove = Transcript(b"compose")
+    proofs, vcs = prover.prove_batch([5], [Scalar.random(rng)], [t_prove],
+                                     rng=rng)
+    t_verify = Transcript(b"compose")
+    proofs[0].verify_single(BP, PC, t_verify, vcs[0], n)
+    assert t_prove.challenge_scalar(b"post") == t_verify.challenge_scalar(b"post")
