@@ -102,6 +102,25 @@ class FixedBaseTables:
             self.niels = None
 
 
+class SubsetTables:
+    """View over a FixedBaseTables restricted to a static base subset
+    (e.g. the per-round active generators of the IPP: the L/R MSMs touch
+    exactly half the G's and the complementary half of the H's, so compact
+    streams halve the accumulation work)."""
+
+    def __init__(self, full: FixedBaseTables, base_idx):
+        import numpy as _np
+        base_idx = _np.asarray(base_idx, _np.int32)
+        self.num_bases = len(base_idx)
+        self.host_points = [full.host_points[j] for j in base_idx]
+        if full.niels is not None:
+            sel = (base_idx[:, None] * NUM_WINDOWS
+                   + _np.arange(NUM_WINDOWS)[None, :]).reshape(-1)
+            self.niels = full.niels[:, :, jnp.asarray(sel), :]
+        else:
+            self.niels = None
+
+
 def _on_tpu() -> bool:
     try:
         dev = jax.config.jax_default_device or jax.devices()[0]
@@ -287,6 +306,27 @@ def msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray,
     if pad_s:
         ident = jnp.zeros((3, niels.shape[1], pad_s, 1), jnp.int32)
         # Niels identity: (Y+X, Y-X, 2dT) = (1, 1, 0)
+        ident = ident.at[0, 0].set(1).at[1, 0].set(1)
+        niels = jnp.concatenate([niels, ident], axis=2)
+    out = _fixed_msm(niels, digits, jnp.asarray(PM.CONSTS), qblk, kchunk)
+    return out[..., :qn]
+
+
+def msm_digits(tables: FixedBaseTables, digits: jnp.ndarray,
+               qblk: int = 512, kchunk: int = 16) -> jnp.ndarray:
+    """Device digit stream (NB*64, Q) int32 -> (4, L, Q) points.  The digit
+    stream never visits the host (produced by ops/prover_stages.py)."""
+    s, qn = digits.shape
+    assert s == tables.num_bases * NUM_WINDOWS
+    pad_s = (-s) % kchunk
+    if qn < qblk:
+        qblk = max(256, 1 << max(0, qn - 1).bit_length())
+    pad_q = (-qn) % qblk
+    if pad_s or pad_q:
+        digits = jnp.pad(digits, ((0, pad_s), (0, pad_q)))
+    niels = tables.niels
+    if pad_s:
+        ident = jnp.zeros((3, niels.shape[1], pad_s, 1), jnp.int32)
         ident = ident.at[0, 0].set(1).at[1, 0].set(1)
         niels = jnp.concatenate([niels, ident], axis=2)
     out = _fixed_msm(niels, digits, jnp.asarray(PM.CONSTS), qblk, kchunk)

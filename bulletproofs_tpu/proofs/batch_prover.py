@@ -74,20 +74,176 @@ class BatchProver:
         self.nb = len(bases)
         self.tables = fixed_msm.FixedBaseTables(bases)
         self.tables_bb = fixed_msm.FixedBaseTables(bases[:2])
+        # per-round active-base subset tables (device path): the L/R MSMs
+        # touch half the G's plus the complementary half of the H's
+        from ..ops import prover_stages as PS
+        self.round_tables = {}
+        nk = n
+        while nk > 1:
+            l_set, r_set = PS.round_base_sets(n, nk)
+            self.round_tables[nk] = (
+                fixed_msm.SubsetTables(self.tables, l_set),
+                fixed_msm.SubsetTables(self.tables, r_set))
+            nk //= 2
 
     def prove_batch(self, values: Sequence[int], blindings: Sequence[Scalar],
                     transcripts: List[Transcript], rng=None
                     ) -> Tuple[List[RangeProof], List[bytes]]:
         """Prove one n-bit statement per transcript.  Returns (proofs,
         value_commitments); each proof verifies against its transcript label
-        exactly like RangeProof.prove_single's output."""
+        exactly like RangeProof.prove_single's output.
+
+        On TPU the scalar vector math also runs on device (the tunnel's
+        host bandwidth is the scarce resource); elsewhere the C++ stages
+        feed the host MSM oracle."""
         rng = rng or _SystemRandom()
-        n, nb = self.n, self.nb
         count = len(values)
         assert count == len(blindings) == len(transcripts)
         for v in values:
-            if v < 0 or v >> n:
-                raise ValueError(f"value out of range for {n}-bit proof")
+            if v < 0 or v >> self.n:
+                raise ValueError(f"value out of range for {self.n}-bit proof")
+        if fixed_msm._on_tpu():
+            return self._prove_batch_device(values, blindings, transcripts, rng)
+        return self._prove_batch_host(values, blindings, transcripts, rng)
+
+    # -- device path: Fiat-Shamir on host, everything else on device --------
+
+    def _prove_batch_device(self, values, blindings, transcripts, rng):
+        import jax
+        import jax.numpy as jnp
+        from ..ops import prover_stages as PS
+        from ..ops import vec_scalar as VS
+        from ..ops.limbs import limbs_to_ints
+        from ..core.scalar import L as ELL
+
+        n, count = self.n, len(values)
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts),
+            strobe_size * count)
+
+        def dev_scalars(raw32: bytes, num: int):
+            arr = np.frombuffer(raw32, np.uint8).reshape(num, 32)
+            return VS.from_bytes32(jnp.asarray(arr))
+
+        def download_canonical(limb_stack, k):
+            """(L, k, P) device limbs -> (k, P) canonical 32-byte rows."""
+            arr = np.asarray(jax.device_get(limb_stack))      # (L, k, P)
+            vals = limbs_to_ints(arr.transpose(1, 2, 0).reshape(-1, arr.shape[0]))
+            out = np.frombuffer(
+                b"".join((v % ELL).to_bytes(32, "little") for v in vals),
+                np.uint8).reshape(k, count, 32)
+            return out
+
+        # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (n*count,
+        # laid out i-major so a reshape gives (L, n, P))
+        n_draws = count * (4 + 2 * n)
+        reduced = ctypes.create_string_buffer(n_draws * 32)
+        rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
+                                    rng.randbytes(n_draws * 64), reduced)
+        assert rc == 0
+        red = reduced.raw
+        o = 32 * count
+        ab = dev_scalars(red[:o], count)
+        sb = dev_scalars(red[o: 2 * o], count)
+        t1b = dev_scalars(red[2 * o: 3 * o], count)
+        t2b = dev_scalars(red[3 * o: 4 * o], count)
+        sl = dev_scalars(red[4 * o: 4 * o + 32 * n * count],
+                         n * count).reshape(-1, n, count)
+        sr = dev_scalars(red[4 * o + 32 * n * count:],
+                         n * count).reshape(-1, n, count)
+
+        v_sc = dev_scalars(b"".join(int(v).to_bytes(32, "little")
+                                    for v in values), count)
+        vb = dev_scalars(b"".join(b.to_bytes() for b in blindings), count)
+        bits_np = np.array([[(int(values[p]) >> i) & 1 for p in range(count)]
+                            for i in range(n)], np.int32)
+        bits = jnp.asarray(bits_np)
+
+        # stage 0: V, A, S
+        dig0 = PS.stage0(n, bits, v_sc, vb, ab, sb, sl, sr)
+        vas = C.compress_to_bytes(fixed_msm.msm_digits(self.tables, dig0))
+        yz = ctypes.create_string_buffer(3 * count * 32)
+        rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,
+                              ctypes.c_size_t(strobe_size),
+                              ctypes.c_uint64(n), vas.tobytes(), yz)
+        assert rc == 0
+        y = dev_scalars(yz.raw[: 32 * count], count)
+        z = dev_scalars(yz.raw[32 * count: 64 * count], count)
+        yinv = dev_scalars(yz.raw[64 * count:], count)
+
+        # stage 1: T_1, T_2
+        l0, l1, r0, r1, t0, t1, t2, zz, tdig = PS.stage1(
+            n, bits, y, z, sl, sr, t1b, t2b)
+        tb = C.compress_to_bytes(fixed_msm.msm_digits(self.tables_bb, tdig))
+        x_buf = ctypes.create_string_buffer(count * 32)
+        rc = _NATIVE.rp_ts_x(ctypes.c_uint64(count), strobes,
+                             ctypes.c_size_t(strobe_size), tb.tobytes(), x_buf)
+        assert rc == 0
+        x = dev_scalars(x_buf.raw, count)
+
+        # stage 2: share scalars + IPP init
+        a, b, gw, hw, t_x, t_xb, e_b = PS.stage2(
+            n, x, l0, l1, r0, r1, t0, t1, t2, zz, vb, t1b, t2b, ab, sb, yinv)
+        txs = download_canonical(jnp.stack([t_x, t_xb, e_b], axis=1), 3)
+        txs_blob = np.ascontiguousarray(
+            txs.transpose(1, 0, 2).reshape(count, 96)).tobytes()
+        w_buf = ctypes.create_string_buffer(count * 32)
+        rc = _NATIVE.rp_ts_w(ctypes.c_uint64(count), strobes,
+                             ctypes.c_size_t(strobe_size), ctypes.c_uint64(n),
+                             txs_blob, w_buf)
+        assert rc == 0
+        w = dev_scalars(w_buf.raw, count)
+
+        # IPP rounds (compact per-round base subsets)
+        L_rows, R_rows = [], []
+        nk = n
+        while nk > 1:
+            dig_l, dig_r = PS.round_digits_compact(n, nk, a, b, gw, hw, w)
+            tab_l, tab_r = self.round_tables[nk]
+            pts = jnp.concatenate([fixed_msm.msm_digits(tab_l, dig_l),
+                                   fixed_msm.msm_digits(tab_r, dig_r)],
+                                  axis=-1)
+            lr = C.compress_to_bytes(pts)
+            L_rows.append(lr[:count])
+            R_rows.append(lr[count:])
+            u_buf = ctypes.create_string_buffer(count * 32)
+            ui_buf = ctypes.create_string_buffer(count * 32)
+            rc = _NATIVE.rp_ts_round(ctypes.c_uint64(count), strobes,
+                                     ctypes.c_size_t(strobe_size),
+                                     lr.tobytes(), u_buf, ui_buf)
+            assert rc == 0
+            u = dev_scalars(u_buf.raw, count)
+            uinv = dev_scalars(ui_buf.raw, count)
+            a, b, gw, hw = PS.round_fold(n, nk, a, b, gw, hw, u, uinv)
+            nk //= 2
+
+        fin = download_canonical(PS.final_scalars(a, b, t_x, t_xb, e_b), 5)
+        for i, t in enumerate(transcripts):
+            t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
+
+        proofs, vcs = [], []
+        for p in range(count):
+            ipp = InnerProductProof(
+                L_vec=[bytes(Lr[p]) for Lr in L_rows],
+                R_vec=[bytes(Rr[p]) for Rr in R_rows],
+                a=Scalar.from_canonical_bytes(fin[3, p].tobytes()),
+                b=Scalar.from_canonical_bytes(fin[4, p].tobytes()))
+            proofs.append(RangeProof(
+                A=bytes(vas[count + p]), S=bytes(vas[2 * count + p]),
+                T_1=bytes(tb[p]), T_2=bytes(tb[count + p]),
+                t_x=Scalar.from_canonical_bytes(fin[0, p].tobytes()),
+                t_x_blinding=Scalar.from_canonical_bytes(fin[1, p].tobytes()),
+                e_blinding=Scalar.from_canonical_bytes(fin[2, p].tobytes()),
+                ipp_proof=ipp))
+            vcs.append(bytes(vas[p]))
+        return proofs, vcs
+
+    # -- host-oracle path (CPU backends / tests) -----------------------------
+
+    def _prove_batch_host(self, values, blindings, transcripts, rng):
+        n, nb = self.n, self.nb
+        count = len(values)
 
         state = ctypes.create_string_buffer(_NATIVE.rp_state_size(n) * count)
         strobe_size = len(transcripts[0].strobe.buf.raw)

@@ -402,4 +402,100 @@ int rp_prove_finish(u64 count, u64 n, uint8_t* state, uint8_t* scalars_out) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// thin transcript helpers for the DEVICE prover path (all scalar vector
+// math on-device, ops/prover_stages.py): the host only replays Fiat-Shamir
+// ---------------------------------------------------------------------------
+
+// count 64-byte wide draws -> canonical 32-byte scalars
+int rp_reduce_wide(u64 count, const uint8_t* wide, uint8_t* out32) {
+  for (u64 i = 0; i < count; ++i) {
+    Sc s;
+    sc_from_wide(s, wide + 64 * i);
+    emit32(out32 + 32 * i, s);
+  }
+  return 0;
+}
+
+// domain sep + V, A, S -> y, z (and 1/y for the device H-factors)
+int rp_ts_yz(u64 count, uint8_t* strobes, u64 stride, u64 n,
+             const uint8_t* vas, uint8_t* out) {
+  Sc* ys = new Sc[count];
+  Sc* yinvs = new Sc[count];
+  for (u64 p = 0; p < count; ++p) {
+    Strobe* ts = (Strobe*)(strobes + p * stride);
+    t_append(ts, "dom-sep", 7, (const uint8_t*)"rangeproof v1", 13);
+    t_append_u64(ts, "n", 1, n);
+    t_append_u64(ts, "m", 1, 1);
+    t_append(ts, "V", 1, vas + 32 * p, 32);
+    t_append(ts, "A", 1, vas + 32 * (count + p), 32);
+    t_append(ts, "S", 1, vas + 32 * (2 * count + p), 32);
+    Sc z;
+    t_challenge(ts, "y", 1, &ys[p]);
+    t_challenge(ts, "z", 1, &z);
+    emit32(out + 32 * (count + p), z);
+  }
+  sc_batch_invert(ys, yinvs, count);
+  for (u64 p = 0; p < count; ++p) {
+    emit32(out + 32 * p, ys[p]);
+    emit32(out + 32 * (2 * count + p), yinvs[p]);
+  }
+  delete[] ys;
+  delete[] yinvs;
+  return 0;
+}
+
+// T_1, T_2 -> x
+int rp_ts_x(u64 count, uint8_t* strobes, u64 stride, const uint8_t* t_bytes,
+            uint8_t* x_out) {
+  for (u64 p = 0; p < count; ++p) {
+    Strobe* ts = (Strobe*)(strobes + p * stride);
+    t_append(ts, "T_1", 3, t_bytes + 32 * p, 32);
+    t_append(ts, "T_2", 3, t_bytes + 32 * (count + p), 32);
+    Sc x;
+    t_challenge(ts, "x", 1, &x);
+    emit32(x_out + 32 * p, x);
+  }
+  return 0;
+}
+
+// t_x, t_x_blinding, e_blinding (canonical 32B each) -> w + ipp domain sep
+int rp_ts_w(u64 count, uint8_t* strobes, u64 stride, u64 n,
+            const uint8_t* txs, uint8_t* w_out) {
+  for (u64 p = 0; p < count; ++p) {
+    Strobe* ts = (Strobe*)(strobes + p * stride);
+    const uint8_t* t = txs + 96 * p;
+    t_append(ts, "t_x", 3, t, 32);
+    t_append(ts, "t_x_blinding", 12, t + 32, 32);
+    t_append(ts, "e_blinding", 10, t + 64, 32);
+    Sc w;
+    t_challenge(ts, "w", 1, &w);
+    emit32(w_out + 32 * p, w);
+    t_append(ts, "dom-sep", 7, (const uint8_t*)"ipp v1", 6);
+    t_append_u64(ts, "n", 1, n);
+  }
+  return 0;
+}
+
+// L, R -> u (and 1/u, one shared inversion per batch)
+int rp_ts_round(u64 count, uint8_t* strobes, u64 stride, const uint8_t* lr,
+                uint8_t* u_out, uint8_t* uinv_out) {
+  Sc* us = new Sc[count];
+  Sc* uinvs = new Sc[count];
+  for (u64 p = 0; p < count; ++p) {
+    Strobe* ts = (Strobe*)(strobes + p * stride);
+    t_append(ts, "L", 1, lr + 32 * p, 32);
+    t_append(ts, "R", 1, lr + 32 * (count + p), 32);
+    t_challenge(ts, "u", 1, &us[p]);
+  }
+  sc_batch_invert(us, uinvs, count);
+  for (u64 p = 0; p < count; ++p) {
+    emit32(u_out + 32 * p, us[p]);
+    emit32(uinv_out + 32 * p, uinvs[p]);
+  }
+  delete[] us;
+  delete[] uinvs;
+  return 0;
+}
+
 }  // extern "C"

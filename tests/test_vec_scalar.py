@@ -1,0 +1,81 @@
+"""Device mod-l scalar layer vs Python ints (Barrett bounds included)."""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bulletproofs_tpu.ops import vec_scalar as S
+from bulletproofs_tpu.ops import limbs
+from bulletproofs_tpu.core.scalar import L as ELL
+
+rr = random.Random(0xD00D)
+N = 64
+
+A_INT = [rr.randrange(1 << 256) for _ in range(N - 3)] + [0, 1, ELL - 1]
+B_INT = [rr.randrange(1 << 256) for _ in range(N - 3)] + [ELL, 5 * ELL - 1, 2]
+A = jnp.asarray(np.ascontiguousarray(limbs.ints_to_limbs(A_INT).T))
+B = jnp.asarray(np.ascontiguousarray(limbs.ints_to_limbs(B_INT).T))
+
+
+def ints(x):
+    return limbs.limbs_to_ints(np.asarray(x).T)
+
+
+def test_smul_matches_and_bounded():
+    got = ints(jax.jit(S.smul)(A, B))
+    for g, a, b in zip(got, A_INT, B_INT):
+        assert g % ELL == (a * b) % ELL
+        assert g < (1 << 255), "lazy Barrett output escaped its bound"
+
+
+def test_smul_chain_stays_bounded():
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(5):
+            x = S.smul(S.sadd(x, b), a)
+        return x
+    got = ints(chain(A, B))
+    for g, a, b in zip(got, A_INT, B_INT):
+        x = a
+        for _ in range(5):
+            x = (x + b) * a % ELL
+        assert g % ELL == x and g < (1 << 256)
+
+
+def test_sadd_sneg():
+    got = ints(jax.jit(S.sadd)(A, B))
+    for g, a, b in zip(got, A_INT, B_INT):
+        assert g % ELL == (a + b) % ELL
+    got = ints(jax.jit(S.sneg)(A))
+    for g, a in zip(got, A_INT):
+        assert g % ELL == (-a) % ELL
+
+
+def test_digits64_reconstruct():
+    d = np.asarray(jax.jit(S.digits64)(A))
+    for j, a in enumerate(A_INT):
+        rec = sum(int(d[w, j]) << (4 * w) for w in range(64))
+        assert rec == a
+
+
+def test_from_wide_bytes():
+    raw = np.frombuffer(rr.randbytes(64 * 8), np.uint8).reshape(8, 64)
+    got = ints(S.from_wide_bytes(jnp.asarray(raw)))
+    for g, row in zip(got, raw):
+        assert g % ELL == int.from_bytes(row.tobytes(), "little") % ELL
+
+
+def test_power_sequence_and_tree_sum():
+    y = A[:, :4]
+    seq = jax.jit(S.power_sequence, static_argnums=1)(y, 8)
+    vals = np.asarray(seq)
+    for j in range(4):
+        for i in range(8):
+            got = limbs.limbs_to_ints(vals[:, i, j][None, :].reshape(1, -1))[0]
+            assert got % ELL == pow(A_INT[j], i, ELL)
+    total = ints(jax.jit(S.tree_sum)(seq))
+    for j in range(4):
+        assert total[j] % ELL == sum(pow(A_INT[j], i, ELL) for i in range(8)) % ELL
