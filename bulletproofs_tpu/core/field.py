@@ -2,7 +2,7 @@
 
 This is the host-side scalar core: plain Python integers, used for protocol
 glue (transcript appends, single-point compressions, test oracles).  The
-wide, batched counterpart lives in `bulletproofs_tpu.ops.field_jax` as
+wide, batched counterpart lives in `bulletproofs_tpu.ops.vec_field` as
 packed-limb TPU kernels; both are tested against each other.
 
 Field semantics mirror curve25519-dalek's `FieldElement` (the reference's

@@ -4,7 +4,7 @@ compress / decompress / Elligator hash-to-group, plus a host Pippenger MSM.
 Semantics match curve25519-dalek's `RistrettoPoint` (the reference's point
 layer, SURVEY.md §2b) per RFC 9496: ENCODE, DECODE, MAP, and
 `from_uniform_bytes` (two MAPs summed).  Backed by Python ints; the batched
-TPU counterpart lives in `bulletproofs_tpu.ops.curve_jax` and is tested
+TPU counterpart lives in `bulletproofs_tpu.ops.vec_curve` and is tested
 against this implementation.
 """
 
@@ -196,7 +196,8 @@ RISTRETTO_BASEPOINT = _basepoint()
 def multiscalar_mul(scalars, points) -> RistrettoPoint:
     """Host Pippenger MSM (test oracle / small-input path).
 
-    The production MSM is the TPU kernel in `bulletproofs_tpu.ops.msm`; this
+    The production MSMs are the TPU kernels in `bulletproofs_tpu.ops.msm_pallas`
+    and `bulletproofs_tpu.ops.fixed_msm`; this
     mirrors the reference's `VartimeMultiscalarMul` role
     (SURVEY.md §2b "the hot loop").
     """

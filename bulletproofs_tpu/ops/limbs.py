@@ -3,7 +3,7 @@
 Layout: GF(2^255-19) elements (and mod-l scalars) are stored as 20 limbs of
 13 bits each, little-endian, in int32 lanes -- chosen so that a 20-term
 schoolbook product plus reduction folds stays below 2^31 (no 64-bit
-arithmetic exists on the TPU VPU; see ops/field_jax.py for the bound
+arithmetic exists on the TPU VPU; see ops/vec_field.py for the bound
 analysis).  Replaces the reference's 64-bit radix-51 / AVX2 representations
 (curve25519-dalek backends, SURVEY.md §2b) with a lane-parallel layout.
 

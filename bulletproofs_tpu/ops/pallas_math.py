@@ -9,7 +9,7 @@ without stacking.
 
 Kernel-scope constants (subtraction bias, curve constants) arrive as one
 (NCONST, L, 1) input tensor; kernels call `bind_consts` at entry.
-Bound analysis is inherited from ops/field_jax.py and cross-checked by
+Bound analysis is inherited from ops/vec_field.py and cross-checked by
 tests/test_vec.py + tests/test_pallas.py against the Python-int oracle.
 """
 

@@ -1,8 +1,7 @@
 """Lane-major batched GF(2^255 - 19) arithmetic: limbs on sublanes, batch on
 lanes.
 
-This is the second-generation TPU field core (replacing the batch-major
-layout of ops/field_jax.py for the hot paths).  A batch of field elements is
+This is the TPU field core.  A batch of field elements is
 an int32 tensor of shape (..., L, N): the limb axis (L = 20 limbs x 13 bits,
 little-endian) sits on the TPU *sublane* dimension and the batch axis N on
 the *lane* dimension, so a (20, N) element batch occupies ceil(20/8) x
@@ -11,8 +10,7 @@ for the batch-major (..., 4, 20) layout, where XLA pads 20 limb lanes to 128.
 Every op is elementwise over lanes and vectorizes over arbitrary leading
 batch dims.
 
-Numeric invariants are identical to ops/field_jax.py (same limb scheme, same
-bound analysis, cross-checked in tests/test_vec.py):
+Numeric invariants (cross-checked in tests/test_vec.py):
 
 * value v = sum(limb_k * 2^(13k)), redundant mod p, limbs <= ~2^13.2 between
   ops; 20 * 9407^2 < 2^31 keeps the schoolbook product in int32;
