@@ -68,3 +68,23 @@ def test_fast_scalar_path_matches_reference_path(rng):
     assert [s.v for s in s_slow[:k]] + [s.v for s in s_slow[k + ns:]] == d_fast
     assert [s.v for s in s_slow[k:k + ns]] == st_fast
     assert pts_fast == comp + vcb
+
+
+@pytest.mark.slow
+def test_batch_verify_aggregated_m2(rng):
+    """Fused batching over aggregated (m = 2) proofs."""
+    n, m = 8, 2
+    proofs, vcss, labels = [], [], []
+    for i in range(2):
+        label = b"agg %d" % i
+        p, vcs = RangeProof.prove_multiple(
+            BP, PC, Transcript(label), [i + 1, 200 + i],
+            [Scalar.random(rng), Scalar.random(rng)], n, rng=rng)
+        proofs.append(p)
+        vcss.append(vcs)
+        labels.append(label)
+    bv = BatchVerifier(BP, PC, n=n, m=m)
+    bv.verify_batch(proofs, vcss, [Transcript(l) for l in labels], rng=rng)
+    with pytest.raises(ProofError):
+        bv.verify_batch(proofs, [vcss[0], vcss[0]],
+                        [Transcript(l) for l in labels], rng=rng)
