@@ -190,6 +190,17 @@ def msm(scalars, points, groups: Optional[int] = None):
     return C.lanes_to_points(out)[0]
 
 
+def msm_host_auto(scalars, points):
+    """Host-facing MSM for the single-proof verifiers: the device kernel on
+    TPU (above a size floor where it beats per-call dispatch latency), the
+    Python oracle elsewhere."""
+    points = list(points)
+    if on_tpu() and len(points) >= 32:
+        return msm(scalars, points)
+    from ..core.ristretto import multiscalar_mul
+    return multiscalar_mul(scalars, points)
+
+
 def on_tpu() -> bool:
     try:
         dev = jax.config.jax_default_device or jax.devices()[0]

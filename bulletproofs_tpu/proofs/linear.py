@@ -138,8 +138,12 @@ class LinearProof:
 
     def verify(self, transcript: Transcript, C: bytes,
                G: List[RistrettoPoint], F: RistrettoPoint, B: RistrettoPoint,
-               b_vec: List[Scalar]) -> None:
-        """Verifier (reference linear_proof.rs:164-249); raises on failure."""
+               b_vec: List[Scalar], msm=None) -> None:
+        """Verifier (reference linear_proof.rs:164-249); raises on failure.
+        `msm` is injectable; by default the device kernel handles the
+        n-point generator MSM on TPU."""
+        if msm is None:
+            from ..ops.vec_msm import msm_host_auto as msm
         n = len(b_vec)
         if len(G) != n:
             raise ProofError.invalid_generators_length()
@@ -164,7 +168,7 @@ class LinearProof:
 
         L_R_factors = multiscalar_mul(x_vec + x_inv_vec, Ls + Rs)
         s = self.subset_product(n, x_vec)
-        G_0 = multiscalar_mul(s, G)
+        G_0 = msm(s, G)
 
         S = RistrettoPoint.decompress(self.S)
         C_pt = RistrettoPoint.decompress(C)

@@ -129,7 +129,8 @@ class Verifier(RandomizableConstraintSystem):
     def verify(self, proof: R1CSProof, pc_gens: PedersenGens,
                bp_gens: BulletproofGens, rng=None, msm=None) -> None:
         rng = rng or _SysRandom()
-        msm = msm or multiscalar_mul
+        if msm is None:
+            from ...ops.vec_msm import msm_host_auto as msm
         transcript = self._transcript
 
         transcript.append_u64(b"m", len(self.V))

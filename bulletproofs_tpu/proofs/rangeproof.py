@@ -292,7 +292,9 @@ class RangeProof:
             raise ProofError.verification()
         points = dyn[:len(compressed)] + static_pts + dyn[len(compressed):]
 
-        mega_check = (msm or multiscalar_mul)(scalars, points)
+        if msm is None:
+            from ..ops.vec_msm import msm_host_auto as msm
+        mega_check = msm(scalars, points)
         if not mega_check.is_identity():
             raise ProofError.verification()
 
