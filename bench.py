@@ -43,8 +43,7 @@ def main():
     log(f"generators: {time.time()-t0:.1f}s")
 
     n = 64
-    n_distinct = 8
-    batch = 2048
+    batch = 4096
     rng = Rng()
 
     # batch proving (TPU batch prover; secondary metric on stderr)

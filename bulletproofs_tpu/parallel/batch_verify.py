@@ -101,6 +101,11 @@ class BatchVerifier:
 
     # -- native pipelined path -------------------------------------------------
 
+    # Per-chunk dynamic-point budget: chosen so a chunk's device work (batch
+    # decompression + partial MSM) roughly covers the host C++ prep of the
+    # NEXT chunk, keeping both sides busy (software pipelining).
+    _CHUNK_PTS = 8192
+
     def _verify_native(self, proofs, value_commitments, transcripts, rng):
         import ctypes
 
@@ -130,51 +135,85 @@ class BatchVerifier:
             [parr[:, :128].reshape(count, 4, 32), lr[:, :, 0], lr[:, :, 1],
              varr], axis=1).reshape(count * n_dyn_per, 32)
 
-        # 2. dispatch device decompression (asynchronous)
-        n_dyn = dyn_pts_arr.shape[0]
-        padded = _pad_quantum(n_dyn)
-        raw = np.zeros((padded, 32), np.uint8)
-        raw[:n_dyn] = dyn_pts_arr
-        valid_dev, dyn_pts = C.decompress_device(jnp.asarray(raw))
+        # 2. pipelined chunks: each chunk dispatches its decompression and
+        #    partial dynamic MSM asynchronously, then the host preps the next
+        #    chunk's scalars in C++ while the device crunches.  Uniform chunk
+        #    shapes keep one compiled program across chunks and batch sizes.
+        chunk_proofs = max(1, self._CHUNK_PTS // n_dyn_per)
+        chunk_pts = _pad_quantum(min(chunk_proofs, count) * n_dyn_per)
+        one = np.zeros(33, np.uint8)
+        one[0] = 1
 
-        # 3. host scalar prep (C++; overlaps the device work above)
         strobe_size = len(transcripts[0].strobe.buf.raw)
-        strobes = ctypes.create_string_buffer(
-            b"".join(t.strobe.buf.raw for t in transcripts), strobe_size * count)
-        cr = rng.randbytes(128 * count)
-        dyn_out = ctypes.create_string_buffer(32 * n_dyn_per * count)
         static_buf = ctypes.create_string_buffer(32 * self._num_static)
-        rc = _NATIVE_PREP.rangeproof_verify_prep_batch(
-            strobes, ctypes.c_size_t(strobe_size),
-            proofs_blob, ctypes.c_size_t(plen), vcs_blob,
-            ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(count),
-            cr, dyn_out, static_buf)
-        if rc != 0:
-            raise ProofError.verification()
-        # write the replayed transcript states back (reference semantics:
-        # verification advances the caller's transcript)
-        for i, t in enumerate(transcripts):
-            t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
-
-        # 4. fused MSM + identity/validity check (single device fetch)
-        sbytes = np.zeros((padded + self._num_static, 33), np.uint8)
-        sbytes[:n_dyn, :32] = np.frombuffer(dyn_out.raw, np.uint8).reshape(-1, 32)
-        sbytes[padded:, :32] = np.frombuffer(static_buf.raw,
-                                             np.uint8).reshape(-1, 32)
-        all_points = jnp.concatenate([dyn_pts, self._static_dev], axis=-1)
-
-        if self.mesh is not None and self.mesh.devices.size > 1:
+        valid_parts, partials = [], []
+        use_pallas = vec_msm.on_tpu()
+        from ..ops import msm_pallas
+        sharded = self.mesh is not None and self.mesh.devices.size > 1
+        if sharded:
             from .sharded_msm import sharded_msm_lanes
+
+        for lo in range(0, count, chunk_proofs):
+            hi = min(lo + chunk_proofs, count)
+            cnt = hi - lo
+            n_dyn = cnt * n_dyn_per
+
+            raw = np.zeros((chunk_pts, 32), np.uint8)
+            raw[:n_dyn] = dyn_pts_arr[lo * n_dyn_per: hi * n_dyn_per]
+            valid_dev, dyn_pts = C.decompress_device(jnp.asarray(raw))
+            valid_parts.append(jnp.all(valid_dev))
+
+            # host scalar prep (C++; overlaps the device work above and the
+            # previous chunk's MSM below)
+            strobes = ctypes.create_string_buffer(
+                b"".join(t.strobe.buf.raw for t in transcripts[lo:hi]),
+                strobe_size * cnt)
+            cr = rng.randbytes(128 * cnt)
+            dyn_out = ctypes.create_string_buffer(32 * n_dyn_per * cnt)
+            rc = _NATIVE_PREP.rangeproof_verify_prep_batch(
+                strobes, ctypes.c_size_t(strobe_size),
+                proofs_blob[lo * plen: hi * plen], ctypes.c_size_t(plen),
+                vcs_blob[lo * 32 * m: hi * 32 * m],
+                ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(cnt),
+                cr, dyn_out, static_buf)
+            if rc != 0:
+                raise ProofError.verification()
+            # write the replayed transcript states back (reference semantics:
+            # verification advances the caller's transcript)
+            for i, t in enumerate(transcripts[lo:hi]):
+                t.strobe.buf.raw = strobes.raw[i * strobe_size:
+                                               (i + 1) * strobe_size]
+
+            sbytes = np.zeros((chunk_pts, 33), np.uint8)
+            sbytes[:n_dyn, :32] = np.frombuffer(dyn_out.raw,
+                                                np.uint8).reshape(-1, 32)
+            if sharded:
+                partials.append(sharded_msm_lanes(dyn_pts, sbytes, self.mesh))
+            elif use_pallas:
+                partials.append(msm_pallas.msm_lanes(dyn_pts, sbytes))
+            else:
+                partials.append(vec_msm.msm_lanes(dyn_pts, sbytes))
+
+        # 3. final fused MSM: static points (scalars accumulated across all
+        #    proofs in C++) + the per-chunk partial results with scalar 1,
+        #    then a single identity/validity fetch.
+        all_points = jnp.concatenate(
+            [self._static_dev] + partials, axis=-1)
+        sbytes = np.zeros((self._num_static + len(partials), 33), np.uint8)
+        sbytes[:self._num_static, :32] = np.frombuffer(
+            static_buf.raw, np.uint8).reshape(-1, 32)
+        sbytes[self._num_static:] = one
+
+        if sharded:
             result = sharded_msm_lanes(all_points, sbytes, self.mesh)
             flag = C._is_identity_jit(result)
+        elif use_pallas:
+            _, flag = msm_pallas.msm_lanes_flag(all_points, sbytes, blk=128)
         else:
-            from ..ops import msm_pallas
-            if vec_msm.on_tpu():
-                _, flag = msm_pallas.msm_lanes_flag(all_points, sbytes)
-            else:
-                result = vec_msm.msm_lanes(all_points, sbytes)
-                flag = C._is_identity_jit(result)
-        all_valid, ok = jax.device_get((jnp.all(valid_dev), flag))
+            result = vec_msm.msm_lanes(all_points, sbytes)
+            flag = C._is_identity_jit(result)
+        all_valid, ok = jax.device_get(
+            (jnp.all(jnp.stack(valid_parts)), flag))
         if not (bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])):
             raise ProofError.verification()
 

@@ -6,9 +6,259 @@
 // remains the semantic reference and cross-validation oracle.  All scalar
 // arithmetic is mod l = 2^252 + 27742... using 4x64-bit limbs with __int128.
 //
+// Structured in two phases so the batch entry point can share ONE modular
+// inversion across all proofs (Montgomery trick, mirroring dalek's
+// Scalar::batch_invert used at reference src/inner_product_proof.rs:227):
+//   phase 1 (replay):  strobe transcript replay -> challenges y,z,x,w,u_i
+//   phase 2 (emit):    verification scalars, given (prod(u) * y)^-1
+//
 // Exposed via ctypes from bulletproofs_tpu/parallel/batch_verify.py.
 
 #include "sc255.h"
+
+namespace {
+
+constexpr int kMaxLg = 40;  // nm <= 2^40; far beyond practical proof sizes
+
+struct VPrepState {
+  Sc y, z, x, w, c, rw;
+  Sc t_x, t_x_blinding, e_blinding, a, b;
+  Sc u[kMaxLg];
+  Sc prod;        // prod_i u_i
+  Sc prod_y;      // prod * y  (the single value needing inversion)
+  Sc prod_y_inv;  // filled by the caller (shared batch inversion)
+};
+
+// Transcript replay + challenge extraction.  Returns 0 on success.
+int vprep_replay(Strobe* strobe, const uint8_t* proof, size_t proof_len,
+                 const uint8_t* vcs, u64 n, u64 m, const uint8_t* c_wide,
+                 const uint8_t* r_wide, int lg, VPrepState& st) {
+  const uint8_t* A = proof;
+  const uint8_t* S = proof + 32;
+  const uint8_t* T1 = proof + 64;
+  const uint8_t* T2 = proof + 96;
+  const uint8_t* t_x_b = proof + 128;
+  const uint8_t* t_x_blinding_b = proof + 160;
+  const uint8_t* e_blinding_b = proof + 192;
+  const uint8_t* LR = proof + 224;
+  const uint8_t* ab = LR + 64 * (size_t)lg;
+
+  t_append(strobe, "dom-sep", 7, (const uint8_t*)"rangeproof v1", 13);
+  t_append_u64(strobe, "n", 1, n);
+  t_append_u64(strobe, "m", 1, m);
+  for (u64 j = 0; j < m; ++j) t_append(strobe, "V", 1, vcs + 32 * j, 32);
+  if (is_zero32(A) || is_zero32(S)) return 3;
+  t_append(strobe, "A", 1, A, 32);
+  t_append(strobe, "S", 1, S, 32);
+  t_challenge(strobe, "y", 1, &st.y);
+  t_challenge(strobe, "z", 1, &st.z);
+  if (is_zero32(T1) || is_zero32(T2)) return 3;
+  t_append(strobe, "T_1", 3, T1, 32);
+  t_append(strobe, "T_2", 3, T2, 32);
+  t_challenge(strobe, "x", 1, &st.x);
+  t_append(strobe, "t_x", 3, t_x_b, 32);
+  t_append(strobe, "t_x_blinding", 12, t_x_blinding_b, 32);
+  t_append(strobe, "e_blinding", 10, e_blinding_b, 32);
+  t_challenge(strobe, "w", 1, &st.w);
+
+  sc_from_wide(st.c, c_wide);
+  sc_from_wide(st.rw, r_wide);
+
+  // ipp challenges
+  t_append(strobe, "dom-sep", 7, (const uint8_t*)"ipp v1", 6);
+  t_append_u64(strobe, "n", 1, n * m);
+  for (int i = 0; i < lg; ++i) {
+    const uint8_t* Li = LR + 64 * (size_t)i;
+    const uint8_t* Ri = Li + 32;
+    if (is_zero32(Li) || is_zero32(Ri)) return 3;
+    t_append(strobe, "L", 1, Li, 32);
+    t_append(strobe, "R", 1, Ri, 32);
+    t_challenge(strobe, "u", 1, &st.u[i]);
+  }
+
+  // canonical scalar loads (already validated at deserialization; trust here)
+  std::memcpy(st.t_x.v, t_x_b, 32);
+  std::memcpy(st.t_x_blinding.v, t_x_blinding_b, 32);
+  std::memcpy(st.e_blinding.v, e_blinding_b, 32);
+  std::memcpy(st.a.v, ab, 32);
+  std::memcpy(st.b.v, ab + 32, 32);
+
+  st.prod = {{1, 0, 0, 0}};
+  for (int i = 0; i < lg; ++i) sc_mul(st.prod, st.prod, st.u[i]);
+  sc_mul(st.prod_y, st.prod, st.y);
+  return 0;
+}
+
+// Verification scalars, given st.prod_y_inv = (prod(u) * y)^-1.
+void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
+                uint8_t* dyn_scalars, uint8_t* static_acc) {
+  const u64 nm = n * m;
+  Sc allinv, y_inv;
+  sc_mul(allinv, st.prod_y_inv, st.y);     // prod(u)^-1
+  sc_mul(y_inv, st.prod_y_inv, st.prod);   // y^-1
+
+  Sc uinv[kMaxLg];
+  {
+    Sc suf[kMaxLg + 1];
+    suf[lg] = {{1, 0, 0, 0}};
+    for (int i = lg - 1; i >= 0; --i) sc_mul(suf[i], suf[i + 1], st.u[i]);
+    Sc pre = {{1, 0, 0, 0}};
+    for (int i = 0; i < lg; ++i) {
+      Sc t0;
+      sc_mul(t0, allinv, pre);
+      sc_mul(uinv[i], t0, suf[i + 1]);
+      sc_mul(pre, pre, st.u[i]);
+    }
+  }
+
+  Sc u_sq[kMaxLg], u_inv_sq[kMaxLg];
+  for (int i = 0; i < lg; ++i) {
+    sc_mul(u_sq[i], st.u[i], st.u[i]);
+    sc_mul(u_inv_sq[i], uinv[i], uinv[i]);
+  }
+
+  // s vector
+  Sc* s = new Sc[nm];
+  s[0] = allinv;
+  for (u64 i = 1; i < nm; ++i) {
+    int lg_i = 63 - __builtin_clzll(i);
+    u64 k = 1ULL << lg_i;
+    sc_mul(s[i], s[i - k], u_sq[(lg - 1) - lg_i]);
+  }
+
+  Sc zz, minus_z;
+  sc_mul(zz, st.z, st.z);
+  sc_neg(minus_z, st.z);
+
+  // dyn scalars: [1, x, c*x, c*x*x] + u_sq + u_inv_sq + vc_scalars
+  Sc one = {{1, 0, 0, 0}};
+  Sc cx, cxx;
+  sc_mul(cx, st.c, st.x);
+  sc_mul(cxx, cx, st.x);
+  uint8_t* out = dyn_scalars;
+  bool accumulate = false;
+  const Sc& rw = st.rw;
+  auto emit = [&out, &rw, &accumulate](const Sc& v) {
+    Sc weighted;
+    sc_mul(weighted, rw, v);
+    if (accumulate) {
+      Sc cur;
+      std::memcpy(cur.v, out, 32);
+      sc_add(weighted, weighted, cur);
+    }
+    std::memcpy(out, weighted.v, 32);
+    out += 32;
+  };
+  emit(one);
+  emit(st.x);
+  emit(cx);
+  emit(cxx);
+  for (int i = 0; i < lg; ++i) emit(u_sq[i]);
+  for (int i = 0; i < lg; ++i) emit(u_inv_sq[i]);
+  // vc scalars: c * zz * z^j
+  {
+    Sc czz;
+    sc_mul(czz, st.c, zz);
+    Sc zj = czz;
+    for (u64 j = 0; j < m; ++j) {
+      emit(zj);
+      sc_mul(zj, zj, st.z);
+    }
+  }
+
+  // static scalars: [-e_blinding - c*t_x_blinding, basepoint_scalar] + g + h
+  out = static_acc;
+  accumulate = true;
+  {
+    Sc t0;
+    sc_mul(t0, st.c, st.t_x_blinding);
+    sc_add(t0, t0, st.e_blinding);
+    sc_neg(t0, t0);
+    emit(t0);
+    // delta(n, m, y, z) = (z - z^2) * sum_y - z^3 * sum_2 * sum_z
+    auto sum_powers = [](const Sc& xv, u64 cnt) {
+      // cnt is a power of two
+      Sc result, factor;
+      if (cnt == 0) return Sc{{0, 0, 0, 0}};
+      if (cnt == 1) return Sc{{1, 0, 0, 0}};
+      Sc one_ = {{1, 0, 0, 0}};
+      sc_add(result, one_, xv);
+      factor = xv;
+      u64 mm = cnt;
+      while (mm > 2) {
+        sc_mul(factor, factor, factor);
+        Sc t2;
+        sc_mul(t2, factor, result);
+        sc_add(result, result, t2);
+        mm /= 2;
+      }
+      return result;
+    };
+    Sc two = {{2, 0, 0, 0}};
+    Sc sum_y = sum_powers(st.y, nm);
+    Sc sum_2 = sum_powers(two, n);
+    Sc sum_z = sum_powers(st.z, m);
+    Sc zmzz, d0, z3, d1, delta;
+    sc_sub(zmzz, st.z, zz);
+    sc_mul(d0, zmzz, sum_y);
+    sc_mul(z3, zz, st.z);
+    sc_mul(d1, z3, sum_2);
+    sc_mul(d1, d1, sum_z);
+    sc_sub(delta, d0, d1);
+    // basepoint = w*(t_x - a*b) + c*(delta - t_x)
+    Sc abm, wterm, dterm, bp;
+    sc_mul(abm, st.a, st.b);
+    sc_sub(wterm, st.t_x, abm);
+    sc_mul(wterm, st.w, wterm);
+    sc_sub(dterm, delta, st.t_x);
+    sc_mul(dterm, st.c, dterm);
+    sc_add(bp, wterm, dterm);
+    emit(bp);
+  }
+  // g[i] = -z - a*s[i];  h[i] = z + y^-i * (zz * z_and_2[i] - b * s[nm-1-i])
+  {
+    for (u64 i = 0; i < nm; ++i) {
+      Sc as, g;
+      sc_mul(as, st.a, s[i]);
+      sc_sub(g, minus_z, as);
+      emit(g);
+    }
+    Sc yi = {{1, 0, 0, 0}};
+    Sc two = {{2, 0, 0, 0}};
+    // z_and_2[i] = 2^(i mod n) * z^(i / n)
+    Sc zj = {{1, 0, 0, 0}};
+    Sc p2 = {{1, 0, 0, 0}};
+    for (u64 i = 0; i < nm; ++i) {
+      u64 bit = i % n;
+      if (i > 0 && bit == 0) {
+        sc_mul(zj, zj, st.z);
+        p2 = {{1, 0, 0, 0}};
+      }
+      Sc z2;
+      sc_mul(z2, p2, zj);
+      Sc t0, t1, h;
+      sc_mul(t0, zz, z2);
+      sc_mul(t1, st.b, s[nm - 1 - i]);
+      sc_sub(t0, t0, t1);
+      sc_mul(t0, yi, t0);
+      sc_add(h, st.z, t0);
+      emit(h);
+      sc_mul(yi, yi, y_inv);
+      sc_mul(p2, p2, two);
+    }
+  }
+
+  delete[] s;
+}
+
+int lg_of(u64 nm) {
+  int lg = 0;
+  while ((1ULL << lg) < nm) ++lg;
+  if ((1ULL << lg) != nm || lg > kMaxLg) return -1;
+  return lg;
+}
+
+}  // namespace
 
 // ---------------------------------------------------------------------------
 // rangeproof verification prep
@@ -34,247 +284,22 @@ int rangeproof_verify_prep(Strobe* strobe, const uint8_t* proof,
                            size_t proof_len, const uint8_t* vcs, u64 n, u64 m,
                            const uint8_t* c_wide, const uint8_t* r_wide,
                            uint8_t* dyn_scalars, uint8_t* static_acc) {
-  const u64 nm = n * m;
-  // lg(nm)
-  int lg = 0;
-  while ((1ULL << lg) < nm) ++lg;
-  if ((1ULL << lg) != nm) return 1;
-  const size_t expect = 32 * (7 + 2 * (size_t)lg + 2);
-  if (proof_len != expect) return 2;
-
-  const uint8_t* A = proof;
-  const uint8_t* S = proof + 32;
-  const uint8_t* T1 = proof + 64;
-  const uint8_t* T2 = proof + 96;
-  const uint8_t* t_x_b = proof + 128;
-  const uint8_t* t_x_blinding_b = proof + 160;
-  const uint8_t* e_blinding_b = proof + 192;
-  const uint8_t* LR = proof + 224;
-  const uint8_t* ab = LR + 64 * (size_t)lg;
-
-  // transcript replay
-  t_append(strobe, "dom-sep", 7, (const uint8_t*)"rangeproof v1", 13);
-  t_append_u64(strobe, "n", 1, n);
-  t_append_u64(strobe, "m", 1, m);
-  for (u64 j = 0; j < m; ++j) t_append(strobe, "V", 1, vcs + 32 * j, 32);
-  if (is_zero32(A) || is_zero32(S)) return 3;
-  t_append(strobe, "A", 1, A, 32);
-  t_append(strobe, "S", 1, S, 32);
-  Sc y, z, x, w;
-  t_challenge(strobe, "y", 1, &y);
-  t_challenge(strobe, "z", 1, &z);
-  if (is_zero32(T1) || is_zero32(T2)) return 3;
-  t_append(strobe, "T_1", 3, T1, 32);
-  t_append(strobe, "T_2", 3, T2, 32);
-  t_challenge(strobe, "x", 1, &x);
-  t_append(strobe, "t_x", 3, t_x_b, 32);
-  t_append(strobe, "t_x_blinding", 12, t_x_blinding_b, 32);
-  t_append(strobe, "e_blinding", 10, e_blinding_b, 32);
-  t_challenge(strobe, "w", 1, &w);
-
-  Sc c, rw;
-  sc_from_wide(c, c_wide);
-  sc_from_wide(rw, r_wide);
-
-  // ipp challenges
-  t_append(strobe, "dom-sep", 7, (const uint8_t*)"ipp v1", 6);
-  t_append_u64(strobe, "n", 1, nm);
-  Sc* u = new Sc[lg];
-  for (int i = 0; i < lg; ++i) {
-    const uint8_t* Li = LR + 64 * (size_t)i;
-    const uint8_t* Ri = Li + 32;
-    if (is_zero32(Li) || is_zero32(Ri)) {
-      delete[] u;
-      return 3;
-    }
-    t_append(strobe, "L", 1, Li, 32);
-    t_append(strobe, "R", 1, Ri, 32);
-    t_challenge(strobe, "u", 1, &u[i]);
-  }
-
-  // canonical scalar loads (already validated at deserialization; trust here)
-  Sc t_x, t_x_blinding, e_blinding, a, b;
-  std::memcpy(t_x.v, t_x_b, 32);
-  std::memcpy(t_x_blinding.v, t_x_blinding_b, 32);
-  std::memcpy(e_blinding.v, e_blinding_b, 32);
-  std::memcpy(a.v, ab, 32);
-  std::memcpy(b.v, ab + 32, 32);
-
-  // one shared Fermat inversion for (prod_u * y): allinv = prod_u^-1 and
-  // y_inv = y^-1 both derive from it (sc_invert dominates host prep cost)
-  Sc prod = {{1, 0, 0, 0}};
-  for (int i = 0; i < lg; ++i) sc_mul(prod, prod, u[i]);
-  Sc prod_y, prod_y_inv;
-  sc_mul(prod_y, prod, y);
-  sc_invert(prod_y_inv, prod_y);
-  Sc allinv;
-  sc_mul(allinv, prod_y_inv, y);
-  Sc y_inv;
-  sc_mul(y_inv, prod_y_inv, prod);
-  Sc* uinv = new Sc[lg];
-  {
-    // suffix products
-    Sc* suf = new Sc[lg + 1];
-    suf[lg] = {{1, 0, 0, 0}};
-    for (int i = lg - 1; i >= 0; --i) sc_mul(suf[i], suf[i + 1], u[i]);
-    Sc pre = {{1, 0, 0, 0}};
-    for (int i = 0; i < lg; ++i) {
-      Sc t0;
-      sc_mul(t0, allinv, pre);
-      sc_mul(uinv[i], t0, suf[i + 1]);
-      sc_mul(pre, pre, u[i]);
-    }
-    delete[] suf;
-  }
-
-  Sc* u_sq = new Sc[lg];
-  Sc* u_inv_sq = new Sc[lg];
-  for (int i = 0; i < lg; ++i) {
-    sc_mul(u_sq[i], u[i], u[i]);
-    sc_mul(u_inv_sq[i], uinv[i], uinv[i]);
-  }
-
-  // s vector
-  Sc* s = new Sc[nm];
-  s[0] = allinv;
-  for (u64 i = 1; i < nm; ++i) {
-    int lg_i = 63 - __builtin_clzll(i);
-    u64 k = 1ULL << lg_i;
-    sc_mul(s[i], s[i - k], u_sq[(lg - 1) - lg_i]);
-  }
-
-  Sc zz, minus_z;
-  sc_mul(zz, z, z);
-  sc_neg(minus_z, z);
-
-  // dyn scalars: [1, x, c*x, c*x*x] + u_sq + u_inv_sq + vc_scalars
-  Sc one = {{1, 0, 0, 0}};
-  Sc cx, cxx;
-  sc_mul(cx, c, x);
-  sc_mul(cxx, cx, x);
-  uint8_t* out = dyn_scalars;
-  bool accumulate = false;
-  auto emit = [&out, &rw, &accumulate](const Sc& v) {
-    Sc weighted;
-    sc_mul(weighted, rw, v);
-    if (accumulate) {
-      Sc cur;
-      std::memcpy(cur.v, out, 32);
-      sc_add(weighted, weighted, cur);
-    }
-    std::memcpy(out, weighted.v, 32);
-    out += 32;
-  };
-  emit(one);
-  emit(x);
-  emit(cx);
-  emit(cxx);
-  for (int i = 0; i < lg; ++i) emit(u_sq[i]);
-  for (int i = 0; i < lg; ++i) emit(u_inv_sq[i]);
-  // vc scalars: c * zz * z^j
-  {
-    Sc czz;
-    sc_mul(czz, c, zz);
-    Sc zj = czz;
-    for (u64 j = 0; j < m; ++j) {
-      emit(zj);
-      sc_mul(zj, zj, z);
-    }
-  }
-
-  // static scalars: [-e_blinding - c*t_x_blinding, basepoint_scalar] + g + h
-  out = static_acc;
-  accumulate = true;
-  {
-    Sc t0, t1;
-    sc_mul(t0, c, t_x_blinding);
-    sc_add(t0, t0, e_blinding);
-    sc_neg(t0, t0);
-    emit(t0);
-    // delta(n, m, y, z) = (z - z^2) * sum_y - z^3 * sum_2 * sum_z
-    auto sum_powers = [](const Sc& xv, u64 cnt) {
-      // cnt is a power of two
-      Sc result, factor;
-      if (cnt == 0) return Sc{{0, 0, 0, 0}};
-      if (cnt == 1) return Sc{{1, 0, 0, 0}};
-      Sc one_ = {{1, 0, 0, 0}};
-      sc_add(result, one_, xv);
-      factor = xv;
-      u64 mm = cnt;
-      while (mm > 2) {
-        sc_mul(factor, factor, factor);
-        Sc t2;
-        sc_mul(t2, factor, result);
-        sc_add(result, result, t2);
-        mm /= 2;
-      }
-      return result;
-    };
-    Sc two = {{2, 0, 0, 0}};
-    Sc sum_y = sum_powers(y, nm);
-    Sc sum_2 = sum_powers(two, n);
-    Sc sum_z = sum_powers(z, m);
-    Sc zmzz, d0, z3, d1, delta;
-    sc_sub(zmzz, z, zz);
-    sc_mul(d0, zmzz, sum_y);
-    sc_mul(z3, zz, z);
-    sc_mul(d1, z3, sum_2);
-    sc_mul(d1, d1, sum_z);
-    sc_sub(delta, d0, d1);
-    // basepoint = w*(t_x - a*b) + c*(delta - t_x)
-    Sc abm, wterm, dterm, bp;
-    sc_mul(abm, a, b);
-    sc_sub(wterm, t_x, abm);
-    sc_mul(wterm, w, wterm);
-    sc_sub(dterm, delta, t_x);
-    sc_mul(dterm, c, dterm);
-    sc_add(bp, wterm, dterm);
-    emit(bp);
-  }
-  // g[i] = -z - a*s[i];  h[i] = z + y^-i * (zz * z_and_2[i] - b * s[nm-1-i])
-  {
-    for (u64 i = 0; i < nm; ++i) {
-      Sc as, g;
-      sc_mul(as, a, s[i]);
-      sc_sub(g, minus_z, as);
-      emit(g);
-    }
-    Sc yi = {{1, 0, 0, 0}};
-    Sc two = {{2, 0, 0, 0}};
-    // z_and_2[i] = 2^(i mod n) * z^(i / n)
-    Sc zj = {{1, 0, 0, 0}};
-    Sc p2 = {{1, 0, 0, 0}};
-    for (u64 i = 0; i < nm; ++i) {
-      u64 bit = i % n;
-      if (i > 0 && bit == 0) {
-        sc_mul(zj, zj, z);
-        p2 = {{1, 0, 0, 0}};
-      }
-      Sc z2;
-      sc_mul(z2, p2, zj);
-      Sc t0, t1, h;
-      sc_mul(t0, zz, z2);
-      sc_mul(t1, b, s[nm - 1 - i]);
-      sc_sub(t0, t0, t1);
-      sc_mul(t0, yi, t0);
-      sc_add(h, z, t0);
-      emit(h);
-      sc_mul(yi, yi, y_inv);
-      sc_mul(p2, p2, two);
-    }
-  }
-
-  delete[] u;
-  delete[] uinv;
-  delete[] u_sq;
-  delete[] u_inv_sq;
-  delete[] s;
+  const int lg = lg_of(n * m);
+  if (lg < 0) return 1;
+  if (proof_len != 32 * (9 + 2 * (size_t)lg)) return 2;
+  VPrepState st;
+  int rc = vprep_replay(strobe, proof, proof_len, vcs, n, m, c_wide, r_wide,
+                        lg, st);
+  if (rc != 0) return rc;
+  sc_invert(st.prod_y_inv, st.prod_y);
+  vprep_emit(st, n, m, lg, dyn_scalars, static_acc);
   return 0;
 }
 
 // Batched variant: `count` proofs sharing (n, m).  One call from Python
 // replaces per-proof ctypes dispatch (the host-prep hot loop in
-// parallel/batch_verify.py).
+// parallel/batch_verify.py), and ONE Montgomery-trick inversion replaces the
+// per-proof Fermat chain (~380 muls -> ~3 muls per proof).
 //   strobes:    count * sizeof(Strobe) transcript states (each already
 //               initialized with its proof's label); mutated in place
 //   proofs:     count * proof_len bytes
@@ -289,17 +314,40 @@ int rangeproof_verify_prep_batch(uint8_t* strobes, size_t strobe_stride,
                                  u64 n, u64 m, u64 count,
                                  const uint8_t* cr_wides,
                                  uint8_t* dyn_out, uint8_t* static_acc) {
-  u64 nm = n * m;
-  int lg = 0;
-  while ((1ULL << lg) < nm) ++lg;
+  const int lg = lg_of(n * m);
+  if (lg < 0) return 1;
+  if (proof_len != 32 * (9 + 2 * (size_t)lg)) return 2;
   const size_t dyn_sz = 32 * (4 + 2 * (size_t)lg + m);
+
+  VPrepState* sts = new VPrepState[count];
   for (u64 i = 0; i < count; ++i) {
-    int rc = rangeproof_verify_prep(
-        (Strobe*)(strobes + i * strobe_stride), proofs + i * proof_len,
-        proof_len, vcs + i * 32 * m, n, m, cr_wides + i * 128,
-        cr_wides + i * 128 + 64, dyn_out + i * dyn_sz, static_acc);
-    if (rc != 0) return 100 + (int)i;
+    int rc = vprep_replay((Strobe*)(strobes + i * strobe_stride),
+                          proofs + i * proof_len, proof_len, vcs + i * 32 * m,
+                          n, m, cr_wides + i * 128, cr_wides + i * 128 + 64,
+                          lg, sts[i]);
+    if (rc != 0) {
+      delete[] sts;
+      return 100 + (int)i;
+    }
   }
+
+  // Montgomery batch inversion of all prod_y values: prefix products, one
+  // Fermat inversion, unwind.
+  Sc* prefix = new Sc[count + 1];
+  prefix[0] = {{1, 0, 0, 0}};
+  for (u64 i = 0; i < count; ++i)
+    sc_mul(prefix[i + 1], prefix[i], sts[i].prod_y);
+  Sc inv_all;
+  sc_invert(inv_all, prefix[count]);
+  for (u64 i = count; i-- > 0;) {
+    sc_mul(sts[i].prod_y_inv, inv_all, prefix[i]);
+    sc_mul(inv_all, inv_all, sts[i].prod_y);
+  }
+  delete[] prefix;
+
+  for (u64 i = 0; i < count; ++i)
+    vprep_emit(sts[i], n, m, lg, dyn_out + i * dyn_sz, static_acc);
+  delete[] sts;
   return 0;
 }
 
