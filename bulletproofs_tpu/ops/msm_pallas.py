@@ -185,12 +185,22 @@ def _compress_kernel(consts_ref, pt_ref, s_ref):
 _CODEC_BLK = 2048
 
 
+def _codec_blk(n: int) -> int:
+    """Largest codec block size that DIVIDES n (grid = n // blk must cover
+    every point: a non-dividing blk silently leaves a tail unprocessed)."""
+    blk = _CODEC_BLK
+    while n % blk:
+        blk //= 2
+    assert blk >= 256, n
+    return blk
+
+
 @jax.jit
 def decompress_lanes(s: jnp.ndarray):
     """(L, N) limb columns -> (valid (N,) bool, points (4, L, N)).  N must
     be a multiple of 256; caller pads (the all-zero encoding is valid)."""
     n = s.shape[-1]
-    blk = min(_CODEC_BLK, n)
+    blk = _codec_blk(n)
     valid, pts = pl.pallas_call(
         _decompress_kernel,
         grid=(n // blk,),
@@ -215,7 +225,7 @@ def decompress_lanes(s: jnp.ndarray):
 def compress_lanes(pts: jnp.ndarray) -> jnp.ndarray:
     """(4, L, N) points -> (L, N) canonical s limb columns."""
     n = pts.shape[-1]
-    blk = min(_CODEC_BLK, n)
+    blk = _codec_blk(n)
     return pl.pallas_call(
         _compress_kernel,
         grid=(n // blk,),
@@ -322,6 +332,22 @@ def msm_lanes_flag(points: jnp.ndarray, scalars, blk: Optional[int] = None):
                                 axis=0)
     digits = device_digits4(jnp.asarray(np.ascontiguousarray(sbytes[:, :32])))
     return _msm_pallas(points, digits, blk, kchunk)
+
+
+def msm_digits_flag(points: jnp.ndarray, digits: jnp.ndarray,
+                    blk: Optional[int] = None) -> jnp.ndarray:
+    """MSM over device points (4, L, N) with DEVICE digits (W=64, N) int32
+    (e.g. vec_scalar.digits64 of device-resident scalars) -> is_identity
+    flag (1,) device array.  No host-side scalar bytes involved."""
+    from . import vec_curve as C
+
+    n = points.shape[-1]
+    padded, blk, kchunk = _pick_shape(n, blk)
+    if padded != n:
+        points = jnp.concatenate([points, C.identity((), padded - n)], axis=-1)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((NUM_WINDOWS, padded - n), jnp.int32)], axis=-1)
+    return _msm_pallas(points, digits, blk, kchunk)[1]
 
 
 def msm_lanes(points: jnp.ndarray, scalars, blk: Optional[int] = None) -> jnp.ndarray:

@@ -162,6 +162,24 @@ def digits64(c: jnp.ndarray) -> jnp.ndarray:
     return ((lo >> off) | (hi << (LIMB_BITS - off))) & 15
 
 
+# static byte-extraction schedule: byte i covers bits [8i, 8i+8); an 8-bit
+# window starting at offset <= 12 inside a 13-bit limb spans at most 2 limbs
+_BYTE_LIMB = np.array([(8 * i) // LIMB_BITS for i in range(33)], np.int32)
+_BYTE_OFF = np.array([(8 * i) % LIMB_BITS for i in range(33)], np.int32)
+
+
+def limbs_to_bytes33(c: jnp.ndarray) -> jnp.ndarray:
+    """(L, N) limbs (value < 2^256) -> (N, 33) uint8 little-endian (pad
+    byte 0), the wire form consumed by the XLA MSM's digit extraction."""
+    c = exact_limbs(c)
+    padded = jnp.concatenate([c, jnp.zeros_like(c[:2])], axis=0)
+    lo = padded[_BYTE_LIMB, :]
+    hi = padded[_BYTE_LIMB + 1, :]
+    off = jnp.asarray(_BYTE_OFF)[:, None]
+    b = ((lo >> off) | (hi << (LIMB_BITS - off))) & 255
+    return b.T.astype(jnp.uint8)
+
+
 def from_bytes32(raw: jnp.ndarray) -> jnp.ndarray:
     """(N, 32) uint8 -> (L, N) limbs (value < 2^256, loose top limb)."""
     from .vec_curve import device_limbs_from_bytes

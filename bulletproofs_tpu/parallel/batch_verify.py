@@ -47,6 +47,7 @@ def _load_native_prep():
         lib = ctypes.CDLL(so)
         lib.rangeproof_verify_prep.restype = ctypes.c_int
         lib.rangeproof_verify_prep_batch.restype = ctypes.c_int
+        lib.rangeproof_verify_replay_batch.restype = ctypes.c_int
         return lib
     except (OSError, AttributeError):
         return None
@@ -94,19 +95,127 @@ class BatchVerifier:
         """
         rng = rng or _SystemRandom()
         assert len(proofs) == len(value_commitments) == len(transcripts)
-        if self.use_native:
+        if self.use_native and self.mesh is None:
             self._verify_native(proofs, value_commitments, transcripts, rng)
+        elif self.use_native:
+            self._verify_native_chunked(proofs, value_commitments,
+                                        transcripts, rng)
         else:
             self._verify_python(proofs, value_commitments, transcripts, rng)
 
-    # -- native pipelined path -------------------------------------------------
+    # -- native fused path (single chip) ---------------------------------------
+
+    def _serialize(self, proofs, value_commitments, lg, n_dyn_per, plen):
+        """Proof blobs + the dynamic-point byte stream (pure slices)."""
+        count = len(proofs)
+        pblobs = []
+        for proof, vcs in zip(proofs, value_commitments):
+            if len(vcs) != self.m or len(proof.ipp_proof.L_vec) != lg:
+                raise ProofError.verification()
+            pb = proof.to_bytes()
+            assert len(pb) == plen
+            pblobs.append(pb)
+        proofs_blob = b"".join(pblobs)
+        vcs_blob = b"".join(b"".join(v) for v in value_commitments)
+        parr = np.frombuffer(proofs_blob, np.uint8).reshape(count, plen)
+        lr = parr[:, 224: 224 + 64 * lg].reshape(count, lg, 2, 32)
+        varr = np.frombuffer(vcs_blob, np.uint8).reshape(count, self.m, 32)
+        dyn_pts_arr = np.concatenate(
+            [parr[:, :128].reshape(count, 4, 32), lr[:, :, 0], lr[:, :, 1],
+             varr], axis=1).reshape(count * n_dyn_per, 32)
+        return proofs_blob, vcs_blob, dyn_pts_arr
+
+    def _verify_native(self, proofs, value_commitments, transcripts, rng):
+        """Fused path: ONE C++ replay call (transcript + challenges only),
+        ONE device program (decompress + scalar emit + mega-MSM), one sync.
+        The O(nm)-per-proof scalar streams run on device
+        (ops/verify_stages.py); uploads are the dynamic points plus a
+        (lg+8)-scalar challenge block per proof."""
+        import ctypes
+
+        from ..ops import verify_stages
+        from ..ops import vec_scalar as VS
+
+        n, m = self.n, self.m
+        nm = n * m
+        lg = nm.bit_length() - 1
+        n_dyn_per = 4 + 2 * lg + m
+        nblk = 2 * lg + 9
+        count = len(proofs)
+        plen = 32 * (9 + 2 * lg)
+
+        proofs_blob, vcs_blob, dyn_pts_arr = self._serialize(
+            proofs, value_commitments, lg, n_dyn_per, plen)
+
+        # dispatch device decompression FIRST (pure proof bytes; overlaps
+        # the host replay below)
+        p_pad = -(-count // 256) * 256
+        use_pallas = vec_msm.on_tpu()
+        if use_pallas:
+            # the Pallas emit writes digits in [tile][slot][lane] order;
+            # reorder the point bytes to match instead of the digits
+            from ..ops.verify_pallas import BLKP
+            arr = np.zeros((p_pad, n_dyn_per, 32), np.uint8)
+            arr[:count] = dyn_pts_arr.reshape(count, n_dyn_per, 32)
+            raw = np.ascontiguousarray(
+                arr.reshape(p_pad // BLKP, BLKP, n_dyn_per, 32)
+                .transpose(0, 2, 1, 3)).reshape(-1, 32)
+        else:
+            raw = np.zeros((p_pad * n_dyn_per, 32), np.uint8)
+            raw[: count * n_dyn_per] = dyn_pts_arr
+        valid_dev, dyn_pts = C.decompress_device(jnp.asarray(raw))
+
+        # host: one C++ replay over the whole batch
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts),
+            strobe_size * count)
+        cr = rng.randbytes(128 * count)
+        blocks = ctypes.create_string_buffer(32 * nblk * count)
+        pair = ctypes.create_string_buffer(64)
+        rc = _NATIVE_PREP.rangeproof_verify_replay_batch(
+            strobes, ctypes.c_size_t(strobe_size),
+            proofs_blob, ctypes.c_size_t(plen), vcs_blob,
+            ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(count),
+            cr, blocks, pair)
+        if rc != 0:
+            raise ProofError.verification()
+        sraw = strobes.raw
+        for i, t in enumerate(transcripts):
+            t.strobe.buf.raw = sraw[i * strobe_size: (i + 1) * strobe_size]
+
+        blk = np.zeros((p_pad * nblk, 32), np.uint8)
+        blk[: count * nblk] = np.frombuffer(blocks.raw, np.uint8).reshape(-1, 32)
+        pair_arr = np.frombuffer(pair.raw, np.uint8).reshape(2, 32)
+
+        if use_pallas:
+            from ..ops import verify_pallas
+            flag = verify_pallas.fused_tail(
+                n, m, jnp.asarray(blk), jnp.asarray(pair_arr),
+                self._static_dev, dyn_pts, valid_dev)
+            if not bool(np.asarray(jax.device_get(flag)).reshape(-1)[0]):
+                raise ProofError.verification()
+            return
+        else:
+            dyn_sc, static_sc = verify_stages.emit_scalars(
+                n, m, jnp.asarray(blk), jnp.asarray(pair_arr))
+            all_pts = jnp.concatenate([self._static_dev, dyn_pts], axis=-1)
+            all_sc = jnp.concatenate([static_sc, dyn_sc], axis=-1)
+            sbytes = np.asarray(jax.device_get(VS.limbs_to_bytes33(all_sc)))
+            flag = C._is_identity_jit(vec_msm.msm_lanes(all_pts, sbytes))
+        all_valid, ok = jax.device_get((jnp.all(valid_dev), flag))
+        if not (bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])):
+            raise ProofError.verification()
+
+    # -- native pipelined path (mesh-sharded MSM) ------------------------------
 
     # Per-chunk dynamic-point budget: chosen so a chunk's device work (batch
     # decompression + partial MSM) roughly covers the host C++ prep of the
     # NEXT chunk, keeping both sides busy (software pipelining).
     _CHUNK_PTS = 8192
 
-    def _verify_native(self, proofs, value_commitments, transcripts, rng):
+    def _verify_native_chunked(self, proofs, value_commitments, transcripts,
+                               rng):
         import ctypes
 
         n, m = self.n, self.m
@@ -116,24 +225,8 @@ class BatchVerifier:
         count = len(proofs)
         plen = 32 * (9 + 2 * lg)
 
-        # 1. serialize: proof blobs + dynamic point encodings (byte slices;
-        #    no scalar math needed yet)
-        pblobs = []
-        for proof, vcs in zip(proofs, value_commitments):
-            if len(vcs) != m or len(proof.ipp_proof.L_vec) != lg:
-                raise ProofError.verification()
-            pb = proof.to_bytes()
-            assert len(pb) == plen
-            pblobs.append(pb)
-        proofs_blob = b"".join(pblobs)
-        vcs_blob = b"".join(b"".join(v) for v in value_commitments)
-
-        parr = np.frombuffer(proofs_blob, np.uint8).reshape(count, plen)
-        lr = parr[:, 224: 224 + 64 * lg].reshape(count, lg, 2, 32)
-        varr = np.frombuffer(vcs_blob, np.uint8).reshape(count, m, 32)
-        dyn_pts_arr = np.concatenate(
-            [parr[:, :128].reshape(count, 4, 32), lr[:, :, 0], lr[:, :, 1],
-             varr], axis=1).reshape(count * n_dyn_per, 32)
+        proofs_blob, vcs_blob, dyn_pts_arr = self._serialize(
+            proofs, value_commitments, lg, n_dyn_per, plen)
 
         # 2. pipelined chunks: each chunk dispatches its decompression and
         #    partial dynamic MSM asynchronously, then the host preps the next
