@@ -8,15 +8,18 @@ equations per proof, src/range_proof/mod.rs:396,418-419) across *proofs*
 
 Each proof contributes 4 + 2*lg(nm) + m dynamic points (A, S, T_1, T_2,
 L_i, R_i, V_j); the 2nm + 2 static points (B, B~, G, H) are shared, their
-per-proof scalars summed host-side.  Dynamic points are batch-decompressed
-on device; the fused MSM runs single-chip (ops/msm_pallas.py on TPU,
-ops/vec_msm.py elsewhere) or across a mesh (parallel/sharded_msm.py).
+per-proof scalars accumulated ON DEVICE across the batch.
 
-The native path is a host/device pipeline: the dynamic point encodings are
-pure byte slices of the proofs, so device decompression is dispatched
-FIRST (asynchronously) and the sequential host work -- transcript replay +
-verification scalars in C++ (native/verify_prep.cpp, bit-identical to the
-Python path and cross-validated in tests) -- overlaps it.
+The default native path is fully fused: the host does one C++ call
+(transcript replay + challenges + one shared batch inversion,
+native/verify_prep.cpp) and uploads a compact challenge block per proof;
+ONE device program then runs batch point decompression, the O(nm)-per-
+proof verification-scalar emit (Pallas kernel ops/verify_pallas.py on
+TPU, XLA ops/verify_stages.py elsewhere), digit extraction, and the
+fused mega-MSM, returning a single accept flag.  Device decompression is
+dispatched before the host replay so the two overlap.  With a mesh, the
+chunked pipeline (sharded MSM over parallel/sharded_msm.py) is used
+instead.
 """
 
 from __future__ import annotations
@@ -128,9 +131,10 @@ class BatchVerifier:
     def _verify_native(self, proofs, value_commitments, transcripts, rng):
         """Fused path: ONE C++ replay call (transcript + challenges only),
         ONE device program (decompress + scalar emit + mega-MSM), one sync.
-        The O(nm)-per-proof scalar streams run on device
-        (ops/verify_stages.py); uploads are the dynamic points plus a
-        (lg+8)-scalar challenge block per proof."""
+        The O(nm)-per-proof scalar streams run on device -- the Pallas
+        kernel (ops/verify_pallas.py) on TPU, the XLA form
+        (ops/verify_stages.py) elsewhere; uploads are the dynamic points
+        plus a (2*lg+9)-scalar challenge block per proof."""
         import ctypes
 
         from ..ops import verify_stages
