@@ -98,7 +98,12 @@ class BatchVerifier:
         """
         rng = rng or _SystemRandom()
         assert len(proofs) == len(value_commitments) == len(transcripts)
-        if self.use_native and self.mesh is None:
+        # The Pallas emit kernel's VMEM working set scales with nm (the
+        # generator axis rides the lanes; ~16 MB at nm = 64); route larger
+        # aggregations through the chunked C++-emit pipeline instead.
+        fused_ok = self.mesh is None and \
+            (not vec_msm.on_tpu() or self.n * self.m <= 64)
+        if self.use_native and fused_ok:
             self._verify_native(proofs, value_commitments, transcripts, rng)
         elif self.use_native:
             self._verify_native_chunked(proofs, value_commitments,
