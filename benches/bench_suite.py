@@ -198,6 +198,11 @@ if __name__ == "__main__":
     which = sys.argv[1:] or ["generators", "rangeproof", "linear", "r1cs"]
     for name in which:
         ALL[name]()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print("wrote", out)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     json.dump(RESULTS, open(out, "w"), indent=1)
     print(f"wrote {out}")
