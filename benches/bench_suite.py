@@ -170,6 +170,29 @@ def bench_batch():
                1.0 / (batch / dt))
 
 
+def bench_batch_prove():
+    """TPU batch prover throughput (the fast proving path; the per-proof
+    times in bench_rangeproof use the slow host-oracle path and measure
+    LATENCY, not throughput)."""
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, Transcript, Scalar
+    from bulletproofs_tpu.proofs.batch_prover import BatchProver
+    rng = Rng()
+    pc = PedersenGens()
+    bp = BulletproofGens(64, 1)
+    prover = BatchProver(bp, pc, 64)
+    for batch in (1024, 4096):
+        vals = [secrets.randbelow(2 ** 64) for _ in range(batch)]
+        blinds = [Scalar.random(rng) for _ in range(batch)]
+
+        def run():
+            prover.prove_batch(vals, blinds,
+                               [Transcript(b"bp %d" % i) for i in range(batch)],
+                               rng=rng)
+        dt = timeit(run, reps=1)
+        record("batch prove", f"batch={batch} n=64", dt)
+        record("batch prove rate", f"batch={batch}", 1.0 / (batch / dt))
+
+
 def bench_msm():
     """Raw MSM points/s (the north-star kernel metric)."""
     import numpy as np
@@ -191,7 +214,7 @@ def bench_msm():
 
 ALL = {"rangeproof": bench_rangeproof, "generators": bench_generators,
        "linear": bench_linear, "r1cs": bench_r1cs, "batch": bench_batch,
-       "msm": bench_msm}
+       "batch_prove": bench_batch_prove, "msm": bench_msm}
 
 
 if __name__ == "__main__":
@@ -200,8 +223,15 @@ if __name__ == "__main__":
         ALL[name]()
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            for r in json.load(f):
+                merged[(r["bench"], r["config"])] = r
+    for r in RESULTS:
+        merged[(r["bench"], r["config"])] = r
     with open(out, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
     print("wrote", out)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     json.dump(RESULTS, open(out, "w"), indent=1)

@@ -133,36 +133,80 @@ class BatchVerifier:
              varr], axis=1).reshape(count * n_dyn_per, 32)
         return proofs_blob, vcs_blob, dyn_pts_arr
 
+    # Sub-batch size for the fused TPU path: each sub-batch's device tail
+    # (decompress + emit + MSM) is dispatched asynchronously, so the host
+    # replay of the NEXT sub-batch overlaps it; flags are fetched once at
+    # the end.  2048 balances overlap granularity against per-dispatch
+    # overhead.
+    _FUSED_CHUNK = 2048
+
     def _verify_native(self, proofs, value_commitments, transcripts, rng):
-        """Fused path: ONE C++ replay call (transcript + challenges only),
-        ONE device program (decompress + scalar emit + mega-MSM), one sync.
-        The O(nm)-per-proof scalar streams run on device -- the Pallas
-        kernel (ops/verify_pallas.py) on TPU, the XLA form
+        """Fused path: per sub-batch, ONE C++ replay call (transcript +
+        challenges only) and ONE asynchronous device program (decompress +
+        scalar emit + mega-MSM); a single sync fetches every sub-batch's
+        accept flag.  The O(nm)-per-proof scalar streams run on device --
+        the Pallas kernel (ops/verify_pallas.py) on TPU, the XLA form
         (ops/verify_stages.py) elsewhere; uploads are the dynamic points
         plus a (2*lg+9)-scalar challenge block per proof."""
-        import ctypes
-
-        from ..ops import verify_stages
-        from ..ops import vec_scalar as VS
-
         n, m = self.n, self.m
         nm = n * m
         lg = nm.bit_length() - 1
         n_dyn_per = 4 + 2 * lg + m
-        nblk = 2 * lg + 9
         count = len(proofs)
         plen = 32 * (9 + 2 * lg)
 
         proofs_blob, vcs_blob, dyn_pts_arr = self._serialize(
             proofs, value_commitments, lg, n_dyn_per, plen)
 
-        # dispatch device decompression FIRST (pure proof bytes; overlaps
-        # the host replay below)
-        p_pad = -(-count // 256) * 256
         use_pallas = vec_msm.on_tpu()
         if use_pallas:
-            # the Pallas emit writes digits in [tile][slot][lane] order;
-            # reorder the point bytes to match instead of the digits
+            step = self._FUSED_CHUNK
+            flags = []
+            for lo in range(0, count, step):
+                hi = min(lo + step, count)
+                flags.append(self._fused_subbatch(
+                    proofs_blob[lo * plen: hi * plen],
+                    vcs_blob[lo * 32 * m: hi * 32 * m],
+                    dyn_pts_arr[lo * n_dyn_per: hi * n_dyn_per],
+                    transcripts[lo:hi], rng))
+            oks = jax.device_get(flags)
+            if not all(bool(np.asarray(ok).reshape(-1)[0]) for ok in oks):
+                raise ProofError.verification()
+            return
+
+        from ..ops import verify_stages
+        from ..ops import vec_scalar as VS
+        valid_dev, dyn_pts, blk, pair_arr = self._prep_subbatch(
+            proofs_blob, vcs_blob, dyn_pts_arr, transcripts, rng,
+            reorder=False)
+        dyn_sc, static_sc = verify_stages.emit_scalars(
+            n, m, jnp.asarray(blk), jnp.asarray(pair_arr))
+        all_pts = jnp.concatenate([self._static_dev, dyn_pts], axis=-1)
+        all_sc = jnp.concatenate([static_sc, dyn_sc], axis=-1)
+        sbytes = np.asarray(jax.device_get(VS.limbs_to_bytes33(all_sc)))
+        flag = C._is_identity_jit(vec_msm.msm_lanes(all_pts, sbytes))
+        all_valid, ok = jax.device_get((jnp.all(valid_dev), flag))
+        if not (bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])):
+            raise ProofError.verification()
+
+    def _prep_subbatch(self, proofs_blob, vcs_blob, dyn_pts_arr, transcripts,
+                       rng, reorder):
+        """Shared sub-batch prep: dispatch device decompression FIRST (pure
+        proof bytes; overlaps the C++ replay), then one C++ replay call ->
+        (valid flags, decompressed points, challenge blocks, static pair).
+        With reorder=True the point bytes are permuted to the Pallas emit
+        kernel's [tile][slot][lane] order."""
+        import ctypes
+
+        n, m = self.n, self.m
+        lg = (n * m).bit_length() - 1
+        n_dyn_per = 4 + 2 * lg + m
+        nblk = 2 * lg + 9
+        plen = 32 * (9 + 2 * lg)
+        count = len(transcripts)
+        p_pad = -(-count // 256) * 256
+
+        if reorder:
             from ..ops.verify_pallas import BLKP
             arr = np.zeros((p_pad, n_dyn_per, 32), np.uint8)
             arr[:count] = dyn_pts_arr.reshape(count, n_dyn_per, 32)
@@ -174,7 +218,6 @@ class BatchVerifier:
             raw[: count * n_dyn_per] = dyn_pts_arr
         valid_dev, dyn_pts = C.decompress_device(jnp.asarray(raw))
 
-        # host: one C++ replay over the whole batch
         strobe_size = len(transcripts[0].strobe.buf.raw)
         strobes = ctypes.create_string_buffer(
             b"".join(t.strobe.buf.raw for t in transcripts),
@@ -196,25 +239,22 @@ class BatchVerifier:
         blk = np.zeros((p_pad * nblk, 32), np.uint8)
         blk[: count * nblk] = np.frombuffer(blocks.raw, np.uint8).reshape(-1, 32)
         pair_arr = np.frombuffer(pair.raw, np.uint8).reshape(2, 32)
+        return valid_dev, dyn_pts, blk, pair_arr
 
-        if use_pallas:
-            from ..ops import verify_pallas
-            flag = verify_pallas.fused_tail(
-                n, m, jnp.asarray(blk), jnp.asarray(pair_arr),
-                self._static_dev, dyn_pts, valid_dev)
-            if not bool(np.asarray(jax.device_get(flag)).reshape(-1)[0]):
-                raise ProofError.verification()
-            return
-        else:
-            dyn_sc, static_sc = verify_stages.emit_scalars(
-                n, m, jnp.asarray(blk), jnp.asarray(pair_arr))
-            all_pts = jnp.concatenate([self._static_dev, dyn_pts], axis=-1)
-            all_sc = jnp.concatenate([static_sc, dyn_sc], axis=-1)
-            sbytes = np.asarray(jax.device_get(VS.limbs_to_bytes33(all_sc)))
-            flag = C._is_identity_jit(vec_msm.msm_lanes(all_pts, sbytes))
-        all_valid, ok = jax.device_get((jnp.all(valid_dev), flag))
-        if not (bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])):
-            raise ProofError.verification()
+    def _fused_subbatch(self, proofs_blob, vcs_blob, dyn_pts_arr, transcripts,
+                        rng):
+        """One sub-batch through the Pallas pipeline; returns the device
+        accept flag WITHOUT synchronizing (the caller fetches all flags at
+        once, so later sub-batches' host work overlaps this one's device
+        tail)."""
+        from ..ops import verify_pallas
+
+        valid_dev, dyn_pts, blk, pair_arr = self._prep_subbatch(
+            proofs_blob, vcs_blob, dyn_pts_arr, transcripts, rng,
+            reorder=True)
+        return verify_pallas.fused_tail(
+            self.n, self.m, jnp.asarray(blk), jnp.asarray(pair_arr),
+            self._static_dev, dyn_pts, valid_dev)
 
     # -- native pipelined path (mesh-sharded MSM) ------------------------------
 
