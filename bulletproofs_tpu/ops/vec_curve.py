@@ -243,14 +243,38 @@ def device_canonical_mask(raw: jnp.ndarray) -> jnp.ndarray:
     return top_clear & ~ge_p & ((b[:, 0] & 1) == 0)
 
 
-def compress_to_bytes(p: jnp.ndarray) -> np.ndarray:
-    """(4, L, N) -> (N, 32) uint8 on host (fused Pallas kernel on TPU)."""
+# static byte-extraction schedule: byte i covers bits [8i, 8i+8) of the
+# 13-bit-limb value (an 8-bit window spans at most 2 limbs)
+_B32_LIMB = np.array([(8 * i) // 13 for i in range(32)], np.int32)
+_B32_OFF = np.array([(8 * i) % 13 for i in range(32)], np.int32)
+
+
+@jax.jit
+def _limb_bytes_jit(s: jnp.ndarray) -> jnp.ndarray:
+    """(L, N) canonical limbs -> (N, 32) uint8, ON DEVICE (fetching bytes
+    costs 32 B/point over the tunnel vs 80 B for int32 limbs)."""
+    padded = jnp.concatenate([s, jnp.zeros_like(s[:1])], axis=0)
+    lo = padded[_B32_LIMB, :]
+    hi = padded[_B32_LIMB + 1, :]
+    off = jnp.asarray(_B32_OFF)[:, None]
+    b = ((lo >> off) | (hi << (13 - off))) & 255
+    return b.T.astype(jnp.uint8)
+
+
+def compress_device(p: jnp.ndarray) -> jnp.ndarray:
+    """(4, L, N) -> (N, 32) uint8 DEVICE array (fused Pallas kernel on
+    TPU); nothing is fetched, so callers can defer the sync."""
     if _on_tpu() and p.shape[-1] % 256 == 0:
         from . import msm_pallas
-        s = np.asarray(jax.device_get(msm_pallas.compress_lanes(p)))
+        s = msm_pallas.compress_lanes(p)
     else:
-        s = np.asarray(jax.device_get(_compress_jit(p)))
-    return limbs_to_bytes(np.ascontiguousarray(s.T))
+        s = _compress_jit(p)
+    return _limb_bytes_jit(s)
+
+
+def compress_to_bytes(p: jnp.ndarray) -> np.ndarray:
+    """(4, L, N) -> (N, 32) uint8 on host."""
+    return np.asarray(jax.device_get(compress_device(p)))
 
 
 def canonical_mask(raw: np.ndarray) -> np.ndarray:

@@ -113,7 +113,6 @@ class BatchProver:
         import jax.numpy as jnp
         from ..ops import prover_stages as PS
         from ..ops import vec_scalar as VS
-        from ..ops.limbs import limbs_to_ints
         from ..core.scalar import L as ELL
 
         n, count = self.n, len(values)
@@ -127,13 +126,19 @@ class BatchProver:
             return VS.from_bytes32(jnp.asarray(arr))
 
         def download_canonical(limb_stack, k):
-            """(L, k, P) device limbs -> (k, P) canonical 32-byte rows."""
-            arr = np.asarray(jax.device_get(limb_stack))      # (L, k, P)
-            vals = limbs_to_ints(arr.transpose(1, 2, 0).reshape(-1, arr.shape[0]))
-            out = np.frombuffer(
-                b"".join((v % ELL).to_bytes(32, "little") for v in vals),
+            """(L, k, P) device limbs (lazy, < 2^256) -> (k, P) canonical
+            32-byte rows.  Bytes are packed ON DEVICE (33 B/scalar over
+            the wire instead of 80 B of int32 limbs); the final mod-l
+            fold runs on host."""
+            lc = limb_stack.shape[0]
+            by = np.asarray(jax.device_get(
+                VS.limbs_to_bytes33(limb_stack.reshape(lc, -1))))
+            blob = by.tobytes()
+            vals = [int.from_bytes(blob[i * 33: (i + 1) * 33], "little") % ELL
+                    for i in range(k * count)]
+            return np.frombuffer(
+                b"".join(v.to_bytes(32, "little") for v in vals),
                 np.uint8).reshape(k, count, 32)
-            return out
 
         # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (n*count,
         # laid out i-major so a reshape gives (L, n, P))
