@@ -109,6 +109,42 @@ class BatchProver:
     # -- device path: Fiat-Shamir on host, everything else on device --------
 
     def _prove_batch_device(self, values, blindings, transcripts, rng):
+        """Drives the batch as two interleaved halves: each half's protocol
+        generator yields a device array right after dispatching a stage, so
+        while the driver fetches half A's points and runs its C++
+        transcript stage, the device is already crunching half B's MSMs
+        (Fiat-Shamir serializes stages WITHIN a half, not across halves)."""
+        import jax
+
+        count = len(values)
+        if count >= 1024 and count % 2 == 0:
+            h = count // 2
+            parts = [slice(0, h), slice(h, count)]
+        else:
+            parts = [slice(0, count)]
+        gens, pend = [], []
+        for s in parts:
+            g = self._prove_half_gen(values[s], blindings[s],
+                                     transcripts[s], rng)
+            gens.append(g)
+            pend.append(next(g))        # primes: dispatches its stage 0
+        results = [None] * len(gens)
+        live = list(range(len(gens)))
+        while live:
+            for i in list(live):
+                try:
+                    pend[i] = gens[i].send(
+                        np.asarray(jax.device_get(pend[i])))
+                except StopIteration as e:
+                    results[i] = e.value
+                    live.remove(i)
+        proofs, vcs = [], []
+        for r in results:
+            proofs.extend(r[0])
+            vcs.extend(r[1])
+        return proofs, vcs
+
+    def _prove_half_gen(self, values, blindings, transcripts, rng):
         import jax
         import jax.numpy as jnp
         from ..ops import prover_stages as PS
@@ -125,14 +161,13 @@ class BatchProver:
             arr = np.frombuffer(raw32, np.uint8).reshape(num, 32)
             return VS.from_bytes32(jnp.asarray(arr))
 
-        def download_canonical(limb_stack, k):
-            """(L, k, P) device limbs (lazy, < 2^256) -> (k, P) canonical
-            32-byte rows.  Bytes are packed ON DEVICE (33 B/scalar over
-            the wire instead of 80 B of int32 limbs); the final mod-l
-            fold runs on host."""
-            lc = limb_stack.shape[0]
-            by = np.asarray(jax.device_get(
-                VS.limbs_to_bytes33(limb_stack.reshape(lc, -1))))
+        def scalar_bytes_device(limb_stack):
+            """(L, k, P) lazy device limbs -> (k*P, 33) device bytes (the
+            fetch happens at the driver, 33 B/scalar on the wire)."""
+            return VS.limbs_to_bytes33(limb_stack.reshape(limb_stack.shape[0], -1))
+
+        def canonical_rows(by, k):
+            """fetched (k*P, 33) uint8 -> (k, P, 32) canonical rows."""
             blob = by.tobytes()
             vals = [int.from_bytes(blob[i * 33: (i + 1) * 33], "little") % ELL
                     for i in range(k * count)]
@@ -167,7 +202,7 @@ class BatchProver:
 
         # stage 0: V, A, S
         dig0 = PS.stage0(n, bits, v_sc, vb, ab, sb, sl, sr)
-        vas = C.compress_to_bytes(fixed_msm.msm_digits(self.tables, dig0))
+        vas = yield C.compress_device(fixed_msm.msm_digits(self.tables, dig0))
         yz = ctypes.create_string_buffer(3 * count * 32)
         rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,
                               ctypes.c_size_t(strobe_size),
@@ -180,7 +215,7 @@ class BatchProver:
         # stage 1: T_1, T_2
         l0, l1, r0, r1, t0, t1, t2, zz, tdig = PS.stage1(
             n, bits, y, z, sl, sr, t1b, t2b)
-        tb = C.compress_to_bytes(fixed_msm.msm_digits(self.tables_bb, tdig))
+        tb = yield C.compress_device(fixed_msm.msm_digits(self.tables_bb, tdig))
         x_buf = ctypes.create_string_buffer(count * 32)
         rc = _NATIVE.rp_ts_x(ctypes.c_uint64(count), strobes,
                              ctypes.c_size_t(strobe_size), tb.tobytes(), x_buf)
@@ -190,7 +225,8 @@ class BatchProver:
         # stage 2: share scalars + IPP init
         a, b, gw, hw, t_x, t_xb, e_b = PS.stage2(
             n, x, l0, l1, r0, r1, t0, t1, t2, zz, vb, t1b, t2b, ab, sb, yinv)
-        txs = download_canonical(jnp.stack([t_x, t_xb, e_b], axis=1), 3)
+        txs = canonical_rows((yield scalar_bytes_device(
+            jnp.stack([t_x, t_xb, e_b], axis=1))), 3)
         txs_blob = np.ascontiguousarray(
             txs.transpose(1, 0, 2).reshape(count, 96)).tobytes()
         w_buf = ctypes.create_string_buffer(count * 32)
@@ -209,7 +245,7 @@ class BatchProver:
             pts = jnp.concatenate([fixed_msm.msm_digits(tab_l, dig_l),
                                    fixed_msm.msm_digits(tab_r, dig_r)],
                                   axis=-1)
-            lr = C.compress_to_bytes(pts)
+            lr = yield C.compress_device(pts)
             L_rows.append(lr[:count])
             R_rows.append(lr[count:])
             u_buf = ctypes.create_string_buffer(count * 32)
@@ -223,7 +259,8 @@ class BatchProver:
             a, b, gw, hw = PS.round_fold(n, nk, a, b, gw, hw, u, uinv)
             nk //= 2
 
-        fin = download_canonical(PS.final_scalars(a, b, t_x, t_xb, e_b), 5)
+        fin = canonical_rows((yield scalar_bytes_device(
+            PS.final_scalars(a, b, t_x, t_xb, e_b))), 5)
         for i, t in enumerate(transcripts):
             t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
 
