@@ -56,10 +56,14 @@ _INTERPRET = False             # flipped by tests on CPU
 # --------------------------------------------------------------------------
 
 def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
-    """Grid (W, n_chunks).  pts (4, L, KCH, BLK) chunk; digs (1, KCH, 1, BLK);
-    slab scratch (B, 4, L, BLK) persists across the chunk axis; out
-    (1, B, 4, L, BLK) written on the last chunk."""
+    """Grid (W, n_chunks).  pts (4, L, KCH, BLK) chunk; digs (1, KCH, 1, BLK)
+    SIGNED-encoded (mag = d & 15 in [0, 8], bit 4 = negate the point); slab
+    scratch (B=9, 4, L, BLK) persists across the chunk axis; out
+    (1, B, 4, L, BLK) written on the last chunk.  Signed digits halve the
+    bucket-mux cost versus 16 unsigned buckets; the point negation
+    (-P = (-X : Y : Z : -T)) is two cheap field negations."""
     PM.bind_consts(consts_ref)
+    B = slab.shape[0]
     kc = pl.program_id(1)
     n_kc = pl.num_programs(1)
     KCH = pts_ref.shape[2]
@@ -71,22 +75,27 @@ def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
         one = jnp.concatenate([jnp.ones((1, blk_n), jnp.int32), zero[1:]],
                               axis=0)
         ident = jnp.stack([zero, one, one, zero])        # (4, L, BLK)
-        for b in range(NUM_BUCKETS):
+        for b in range(B):
             slab[b] = ident
 
     def step(k, _):
-        pt = (pts_ref[0, :, k, :], pts_ref[1, :, k, :],
-              pts_ref[2, :, k, :], pts_ref[3, :, k, :])
         d = digs_ref[0, k, :, :]                     # (1, BLK)
-        masks = [d == b for b in range(NUM_BUCKETS)]
+        neg = d >= 16
+        mag = d & 15
+        pt = (jnp.where(neg, PM.fneg(pts_ref[0, :, k, :]),
+                        pts_ref[0, :, k, :]),
+              pts_ref[1, :, k, :], pts_ref[2, :, k, :],
+              jnp.where(neg, PM.fneg(pts_ref[3, :, k, :]),
+                        pts_ref[3, :, k, :]))
+        masks = [mag == b for b in range(B)]
         cur = [jnp.zeros_like(pt[0]) for _ in range(4)]
-        for b in range(NUM_BUCKETS):
+        for b in range(B):
             sb = slab[b]
             m = masks[b]
             for c in range(4):
                 cur[c] = cur[c] + jnp.where(m, sb[c], 0)
         new = PM.ed_add(tuple(cur), pt)
-        for b in range(NUM_BUCKETS):
+        for b in range(B):
             sb = slab[b]
             m = masks[b]
             slab[b] = jnp.stack([jnp.where(m, new[c], sb[c]) for c in range(4)])
@@ -250,18 +259,38 @@ def device_digits4(sbytes: jnp.ndarray) -> jnp.ndarray:
     return d.T
 
 
+@jax.jit
+def to_signed_digits(d: jnp.ndarray) -> jnp.ndarray:
+    """(W, N) unsigned base-16 digits -> signed encoding: mag in [0, 8]
+    in the low nibble, bit 4 set when the point should be negated
+    (digit value -mag).  Sequential carry from the low window; the carry
+    out of window W-1 must be zero, which requires the scalar VALUE to be
+    < 8 * 2^252 (top window + incoming carry <= 8).  Every caller
+    satisfies this: canonical scalars are < l ~ 2^252.03 and lazy Barrett
+    outputs are < ~5l (cross-checked against the host oracle up to 7l)."""
+    def step(carry, row):
+        v = row + carry
+        neg = v > 8
+        out = jnp.where(neg, (16 - v) + 16, v)
+        return neg.astype(jnp.int32), out
+
+    _, rows = jax.lax.scan(step, jnp.zeros(d.shape[1:], jnp.int32), d)
+    return rows
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _msm_pallas(points: jnp.ndarray, digits: jnp.ndarray,
                 blk: int, kchunk: int):
-    """points (4, L, N), digits (W, N), N = n_chunks * kchunk * blk ->
-    (result (4, L, 1), is_identity (1,) int32)."""
-    W, B = NUM_WINDOWS, NUM_BUCKETS
+    """points (4, L, N), UNSIGNED digits (W, N), N = n_chunks * kchunk * blk
+    -> (result (4, L, 1), is_identity (1,) int32).  Digits are re-encoded
+    signed (9 buckets) before the bucket accumulation."""
+    W, B = NUM_WINDOWS, 9
     n = points.shape[-1]
     n_chunks = n // (kchunk * blk)
     consts = jnp.asarray(PM.CONSTS)
 
     pts = points.reshape(4, L, n_chunks * kchunk, blk)
-    digs = digits.reshape(W, n_chunks * kchunk, 1, blk)
+    digs = to_signed_digits(digits).reshape(W, n_chunks * kchunk, 1, blk)
 
     slabs = pl.pallas_call(
         _accum_kernel,
