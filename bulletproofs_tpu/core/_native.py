@@ -1,0 +1,62 @@
+"""ctypes binding to the native host curve backend (native/ristretto.cpp).
+
+Exposes `LIB` (the loaded shared library with argtypes configured) or None
+when the library is unbuilt / disabled.  Set BPTPU_NO_NATIVE=1 to force the
+pure-Python paths (tests use this to cross-check the two implementations).
+
+Boundary formats (see native/ristretto.cpp):
+  point  = 128 bytes (X, Y, Z, T as 32-byte little-endian field elements)
+  scalar = 32 bytes little-endian, reduced mod l
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+
+def _load():
+    if os.environ.get("BPTPU_NO_NATIVE"):
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "libbptranscript.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        sz = ctypes.c_size_t
+        lib.rist_msm.argtypes = [sz, ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_char_p]
+        lib.rist_msm.restype = None
+        lib.rist_scalar_mul.argtypes = [ctypes.c_char_p] * 3
+        lib.rist_scalar_mul.restype = None
+        lib.rist_add.argtypes = [ctypes.c_char_p] * 3
+        lib.rist_add.restype = None
+        lib.rist_sum.argtypes = [sz, ctypes.c_char_p, ctypes.c_char_p]
+        lib.rist_sum.restype = None
+        lib.rist_fold.argtypes = [sz] + [ctypes.c_char_p] * 4
+        lib.rist_fold.restype = None
+        lib.rist_compress.argtypes = [ctypes.c_char_p] * 2
+        lib.rist_compress.restype = None
+        lib.rist_decompress.argtypes = [ctypes.c_char_p] * 2
+        lib.rist_decompress.restype = ctypes.c_int
+        lib.rist_from_uniform_bytes.argtypes = [ctypes.c_char_p] * 2
+        lib.rist_from_uniform_bytes.restype = None
+        lib.rist_eq.argtypes = [ctypes.c_char_p] * 2
+        lib.rist_eq.restype = ctypes.c_int
+        lib.rist_is_identity.argtypes = [ctypes.c_char_p]
+        lib.rist_is_identity.restype = ctypes.c_int
+        lib.rist_batch_compress.argtypes = [sz, ctypes.c_char_p,
+                                            ctypes.c_char_p]
+        lib.rist_batch_compress.restype = None
+        lib.rist_batch_decompress.argtypes = [sz] + [ctypes.c_char_p] * 3
+        lib.rist_batch_decompress.restype = ctypes.c_int
+        del u8p
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+LIB = _load()

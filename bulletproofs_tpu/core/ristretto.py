@@ -10,11 +10,26 @@ against this implementation.
 
 from __future__ import annotations
 
+import ctypes as _ct
+
 from .field import (P, D, EDWARDS_D2, SQRT_M1, ONE_MINUS_D_SQ, D_MINUS_ONE_SQ,
                     SQRT_AD_MINUS_ONE, INVSQRT_A_MINUS_D,
                     fe_from_bytes, fe_to_bytes, is_negative, ct_abs, invert,
                     sqrt_ratio_m1)
-from .scalar import Scalar
+from .scalar import Scalar, L
+from ._native import LIB as _NATIVE
+
+
+def _to_ext(p: "RistrettoPoint") -> bytes:
+    """128-byte extended-coordinate boundary encoding for the C backend."""
+    return (p.X.to_bytes(32, "little") + p.Y.to_bytes(32, "little")
+            + p.Z.to_bytes(32, "little") + p.T.to_bytes(32, "little"))
+
+
+def _from_ext(b: bytes) -> "RistrettoPoint":
+    return RistrettoPoint(
+        int.from_bytes(b[0:32], "little"), int.from_bytes(b[32:64], "little"),
+        int.from_bytes(b[64:96], "little"), int.from_bytes(b[96:128], "little"))
 
 
 class RistrettoPoint:
@@ -68,6 +83,13 @@ class RistrettoPoint:
 
     def scalar_mul(self, s) -> "RistrettoPoint":
         k = s.v if isinstance(s, Scalar) else int(s)
+        if _NATIVE is not None and k.bit_length() > 8:
+            # mod-l reduction only moves the result within its ristretto
+            # coset (all valid representatives have order dividing 4l, and
+            # encode/eq quotient out the 4-torsion)
+            out = _ct.create_string_buffer(128)
+            _NATIVE.rist_scalar_mul(_to_ext(self), (k % L).to_bytes(32, "little"), out)
+            return _from_ext(out.raw)
         if k < 0:
             return (-self).scalar_mul(-k)
         acc = RistrettoPoint.identity()
@@ -96,6 +118,13 @@ class RistrettoPoint:
 
     # -- encoding (RFC 9496 ENCODE / dalek compress) ------------------------
     def compress(self) -> bytes:
+        if _NATIVE is not None:
+            out = _ct.create_string_buffer(32)
+            _NATIVE.rist_compress(_to_ext(self), out)
+            return out.raw
+        return self._compress_py()
+
+    def _compress_py(self) -> bytes:
         u1 = (self.Z + self.Y) * (self.Z - self.Y) % P
         u2 = self.X * self.Y % P
         _, invsqrt = sqrt_ratio_m1(1, u1 * u2 % P * u2 % P)
@@ -121,6 +150,11 @@ class RistrettoPoint:
         negativity, and curve checks match dalek)."""
         if len(b) != 32:
             return None
+        if _NATIVE is not None:
+            out = _ct.create_string_buffer(128)
+            if not _NATIVE.rist_decompress(bytes(b), out):
+                return None
+            return _from_ext(out.raw)
         s_int = int.from_bytes(b, "little")
         if s_int >= P:  # non-canonical
             return None
@@ -164,6 +198,10 @@ class RistrettoPoint:
     @classmethod
     def from_uniform_bytes(cls, b: bytes) -> "RistrettoPoint":
         assert len(b) == 64
+        if _NATIVE is not None:
+            out = _ct.create_string_buffer(128)
+            _NATIVE.rist_from_uniform_bytes(bytes(b), out)
+            return _from_ext(out.raw)
         p1 = cls._elligator_map(fe_from_bytes(b[:32]))
         p2 = cls._elligator_map(fe_from_bytes(b[32:]))
         return p1 + p2
@@ -207,6 +245,12 @@ def multiscalar_mul(scalars, points) -> RistrettoPoint:
     n = len(points)
     if n == 0:
         return RistrettoPoint.identity()
+    if _NATIVE is not None:
+        spack = b"".join((s % L).to_bytes(32, "little") for s in scalars)
+        ppack = b"".join(_to_ext(p) for p in points)
+        out = _ct.create_string_buffer(128)
+        _NATIVE.rist_msm(n, spack, ppack, out)
+        return _from_ext(out.raw)
     c = 6 if n < 32 else (8 if n < 512 else 12)
     nwin = (253 + c - 1) // c
     acc = RistrettoPoint.identity()

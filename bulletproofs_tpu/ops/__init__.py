@@ -14,8 +14,18 @@ _CACHE_DIR = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".jax_cache"))
 
+def _cpu_only() -> bool:
+    # CPU AOT cache entries are keyed without the host's CPU feature set, so
+    # an entry compiled on one x86 host can SIGILL on another.  Only persist
+    # the cache when a real accelerator backend is in play.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and all(p.strip() in ("cpu", "") for p in plats.split(",")):
+        return True
+    return "host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+
+
 try:
-    if _CACHE_DIR and _CACHE_DIR != "0":
+    if _CACHE_DIR and _CACHE_DIR != "0" and not _cpu_only():
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

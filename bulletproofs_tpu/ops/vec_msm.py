@@ -191,11 +191,17 @@ def msm(scalars, points, groups: Optional[int] = None):
 
 
 def msm_host_auto(scalars, points):
-    """Host-facing MSM for the single-proof verifiers: the device kernel on
-    TPU (above a size floor where it beats per-call dispatch latency), the
-    Python oracle elsewhere."""
+    """Host-facing MSM for the single-proof provers/verifiers: the native
+    C++ backend below a size floor, the TPU kernel above it.
+
+    With the C++ backend built, small MSMs finish in ~2 ms on host --
+    faster than a single device dispatch -- so the device only pays off
+    for large aggregations / R1CS mega-MSMs.  Without it, the pure-Python
+    oracle is so slow that the device wins from 32 points up."""
     points = list(points)
-    if on_tpu() and len(points) >= 32:
+    from ..core._native import LIB
+    floor = 8192 if LIB is not None else 32
+    if on_tpu() and len(points) >= floor:
         return msm(scalars, points)
     from ..core.ristretto import multiscalar_mul
     return multiscalar_mul(scalars, points)

@@ -53,31 +53,49 @@ class InnerProductProof:
         L_vec: List[bytes] = []
         R_vec: List[bytes] = []
 
-        first_round = True
+        # Generator folding never materializes: the round-r folded generator
+        # G'[i] equals sum_{k = i (mod 2m)} g_coef[k] * G[k] over the
+        # ORIGINAL generators, with g_coef[k] the running product of the
+        # u / u^-1 challenges selected by k's high bits (the prover-side
+        # mirror of the verifier's s-vector, reference
+        # src/inner_product_proof.rs:228-253).  Each round's L/R is then one
+        # (n+1)-term MSM over the fixed G/H -- point work goes through the
+        # native/backend MSM instead of 2n per-element point folds.  The
+        # G_factors/H_factors of the reference's first round (:77-141) are
+        # simply the initial coefficients.
+        n_full = n
+        g_coef = list(G_factors)
+        h_coef = list(H_factors)
+        G0 = list(G)
+        H0 = list(H)
+
         while n != 1:
             n //= 2
             a_L, a_R = a[:n], a[n:]
             b_L, b_R = b[:n], b[n:]
-            G_L, G_R = G[:n], G[n:]
-            H_L, H_R = H[:n], H[n:]
 
             c_L = inner_product(a_L, b_R)
             c_R = inner_product(a_R, b_L)
 
-            if first_round:
-                # Fold the G/H factors into the first round's MSMs
-                # (reference :77-141).
-                L = multiscalar_mul(
-                    [a_L[i] * G_factors[n + i] for i in range(n)]
-                    + [b_R[i] * H_factors[i] for i in range(n)] + [c_L],
-                    G_R + H_L + [Q])
-                R = multiscalar_mul(
-                    [a_R[i] * G_factors[i] for i in range(n)]
-                    + [b_L[i] * H_factors[n + i] for i in range(n)] + [c_R],
-                    G_L + H_R + [Q])
-            else:
-                L = multiscalar_mul(a_L + b_R + [c_L], G_R + H_L + [Q])
-                R = multiscalar_mul(a_R + b_L + [c_R], G_L + H_R + [Q])
+            period = 2 * n
+            sc_L = [c_L]
+            pt_L = [Q]
+            sc_R = [c_R]
+            pt_R = [Q]
+            for k in range(n_full):
+                r = k % period
+                if r >= n:  # k lands in the current G_R / H_R half
+                    sc_L.append(a_L[r - n] * g_coef[k])
+                    pt_L.append(G0[k])
+                    sc_R.append(b_L[r - n] * h_coef[k])
+                    pt_R.append(H0[k])
+                else:       # current G_L / H_L half
+                    sc_R.append(a_R[r] * g_coef[k])
+                    pt_R.append(G0[k])
+                    sc_L.append(b_R[r] * h_coef[k])
+                    pt_L.append(H0[k])
+            L = multiscalar_mul(sc_L, pt_L)
+            R = multiscalar_mul(sc_R, pt_R)
 
             Lc, Rc = L.compress(), R.compress()
             L_vec.append(Lc)
@@ -91,19 +109,15 @@ class InnerProductProof:
             for i in range(n):
                 a_L[i] = a_L[i] * u + u_inv * a_R[i]
                 b_L[i] = b_L[i] * u_inv + u * b_R[i]
-                if first_round:
-                    G_L[i] = multiscalar_mul(
-                        [u_inv * G_factors[i], u * G_factors[n + i]],
-                        [G_L[i], G_R[i]])
-                    H_L[i] = multiscalar_mul(
-                        [u * H_factors[i], u_inv * H_factors[n + i]],
-                        [H_L[i], H_R[i]])
-                else:
-                    G_L[i] = multiscalar_mul([u_inv, u], [G_L[i], G_R[i]])
-                    H_L[i] = multiscalar_mul([u, u_inv], [H_L[i], H_R[i]])
+            for k in range(n_full):
+                if k % period >= n:  # folded in from the R half: G' = uG_R + ...
+                    g_coef[k] = g_coef[k] * u
+                    h_coef[k] = h_coef[k] * u_inv
+                else:                # L half: G' = u^-1 G_L + ...
+                    g_coef[k] = g_coef[k] * u_inv
+                    h_coef[k] = h_coef[k] * u
 
-            a, b, G, H = a_L, b_L, G_L, H_L
-            first_round = False
+            a, b = a_L, b_L
 
         return cls(L_vec, R_vec, a[0], b[0])
 

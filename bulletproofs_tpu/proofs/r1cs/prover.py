@@ -173,7 +173,8 @@ class Prover(RandomizableConstraintSystem):
 
     def prove(self, bp_gens: BulletproofGens, rng=None, msm=None) -> R1CSProof:
         rng = rng or _SysRandom()
-        msm = msm or multiscalar_mul
+        if msm is None:
+            from ...ops.vec_msm import msm_host_auto as msm
         transcript = self._transcript
 
         transcript.append_u64(b"m", len(self.v))

@@ -1,0 +1,180 @@
+// C ABI for the host-tier ristretto255 backend (fe255.h): point codecs,
+// scalar mul, vartime Pippenger MSM, and the batch helpers used by the
+// protocol layers.  This replaces pure-Python big-int point math on the
+// sequential host paths (single-proof provers/verifiers, MPC parties,
+// generator derivation) -- the role curve25519-dalek plays for the
+// reference (SURVEY.md §2b).
+//
+// Boundary formats:
+//   point  = 128 bytes: X, Y, Z, T as 32-byte little-endian field elements
+//   scalar = 32 bytes little-endian (already reduced mod l by the caller;
+//            reduction mod l only moves the result within its ristretto
+//            coset, which encode/equality quotient out)
+#include "fe255.h"
+
+#include <vector>
+
+using namespace fe255;
+
+extern "C" {
+
+// out = sum_i scalars[i] * points[i]; vartime bucketed Pippenger.
+void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
+              uint8_t out[128]) {
+  if (n == 0) {
+    ge_to_ext_bytes(out, GE_IDENTITY);
+    return;
+  }
+  std::vector<Ge> pts(n);
+  for (size_t i = 0; i < n; ++i) ge_from_ext_bytes(pts[i], points + 128 * i);
+
+  // window size balancing stream adds (nwin*n) vs bucket reduction
+  // (nwin*2^(c+1)) -- reduction dominates if c grows too early
+  const int c = n < 16 ? 4 : (n < 128 ? 6 : (n < 2048 ? 8 : (n < 32768 ? 10 : 12)));
+  const int nwin = (253 + c - 1) / c;
+  const size_t nbuckets = (size_t)1 << c;
+  std::vector<Ge> buckets(nbuckets);
+  std::vector<bool> used(nbuckets);
+
+  Ge acc = GE_IDENTITY;
+  bool acc_started = false;
+  for (int w = nwin - 1; w >= 0; --w) {
+    if (acc_started)
+      for (int d = 0; d < c; ++d) ge_dbl(acc, acc);
+    std::fill(used.begin(), used.end(), false);
+    size_t hi = 0;
+    const int bit0 = w * c;
+    for (size_t i = 0; i < n; ++i) {
+      // extract c bits starting at bit0 from the 32-byte LE scalar
+      const uint8_t* s = scalars + 32 * i;
+      const int byte0 = bit0 >> 3, shift = bit0 & 7;
+      uint32_t window = s[byte0] >> shift;
+      if (byte0 + 1 < 32) window |= (uint32_t)s[byte0 + 1] << (8 - shift);
+      if (shift > 0 && byte0 + 2 < 32) window |= (uint32_t)s[byte0 + 2] << (16 - shift);
+      const size_t digit = window & (nbuckets - 1);
+      if (!digit) continue;
+      if (used[digit]) ge_add(buckets[digit], buckets[digit], pts[i]);
+      else { buckets[digit] = pts[i]; used[digit] = true; }
+      if (digit > hi) hi = digit;
+    }
+    if (!hi) continue;
+    // windowsum = sum_b b * bucket[b] via running suffix sums
+    Ge running, windowsum;
+    bool run_started = false, win_started = false;
+    for (size_t b = hi; b >= 1; --b) {
+      if (used[b]) {
+        if (run_started) ge_add(running, running, buckets[b]);
+        else { running = buckets[b]; run_started = true; }
+      }
+      if (run_started) {
+        if (win_started) ge_add(windowsum, windowsum, running);
+        else { windowsum = running; win_started = true; }
+      }
+    }
+    if (win_started) {
+      if (acc_started) ge_add(acc, acc, windowsum);
+      else { acc = windowsum; acc_started = true; }
+    }
+  }
+  ge_to_ext_bytes(out, acc);
+}
+
+void rist_scalar_mul(const uint8_t pt[128], const uint8_t sc[32],
+                     uint8_t out[128]) {
+  Ge p, r;
+  ge_from_ext_bytes(p, pt);
+  ge_scalar_mul(r, p, sc);
+  ge_to_ext_bytes(out, r);
+}
+
+void rist_add(const uint8_t a[128], const uint8_t b[128], uint8_t out[128]) {
+  Ge p, q, r;
+  ge_from_ext_bytes(p, a);
+  ge_from_ext_bytes(q, b);
+  ge_add(r, p, q);
+  ge_to_ext_bytes(out, r);
+}
+
+// out = sum of n points (dealer commitment sums)
+void rist_sum(size_t n, const uint8_t* pts, uint8_t out[128]) {
+  Ge acc = GE_IDENTITY;
+  Ge p;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(p, pts + 128 * i);
+    ge_add(acc, acc, p);
+  }
+  ge_to_ext_bytes(out, acc);
+}
+
+// out[i] = a[i] + x * b[i]  (generator folds)
+void rist_fold(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
+               const uint8_t sc[32], uint8_t* out) {
+  Ge a, b, xb;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(a, a_pts + 128 * i);
+    ge_from_ext_bytes(b, b_pts + 128 * i);
+    ge_scalar_mul(xb, b, sc);
+    ge_add(xb, a, xb);
+    ge_to_ext_bytes(out + 128 * i, xb);
+  }
+}
+
+void rist_compress(const uint8_t pt[128], uint8_t out[32]) {
+  Ge p;
+  ge_from_ext_bytes(p, pt);
+  rist_encode(out, p);
+}
+
+int rist_decompress(const uint8_t in[32], uint8_t out[128]) {
+  Ge p;
+  if (!rist_decode(p, in)) return 0;
+  ge_to_ext_bytes(out, p);
+  return 1;
+}
+
+void rist_from_uniform_bytes(const uint8_t in[64], uint8_t out[128]) {
+  Ge p;
+  rist_from_uniform(p, in);
+  ge_to_ext_bytes(out, p);
+}
+
+int rist_eq(const uint8_t a[128], const uint8_t b[128]) {
+  Ge p, q;
+  ge_from_ext_bytes(p, a);
+  ge_from_ext_bytes(q, b);
+  return ge_rist_eq(p, q) ? 1 : 0;
+}
+
+int rist_is_identity(const uint8_t a[128]) {
+  Ge p;
+  ge_from_ext_bytes(p, a);
+  return ge_rist_eq(p, GE_IDENTITY) ? 1 : 0;
+}
+
+void rist_batch_compress(size_t n, const uint8_t* pts, uint8_t* out) {
+  Ge p;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(p, pts + 128 * i);
+    rist_encode(out + 32 * i, p);
+  }
+}
+
+// returns the number of valid encodings; ok[i] in {0,1} per point
+int rist_batch_decompress(size_t n, const uint8_t* in, uint8_t* out,
+                          uint8_t* ok) {
+  Ge p;
+  int good = 0;
+  for (size_t i = 0; i < n; ++i) {
+    if (rist_decode(p, in + 32 * i)) {
+      ge_to_ext_bytes(out + 128 * i, p);
+      ok[i] = 1;
+      ++good;
+    } else {
+      ge_to_ext_bytes(out + 128 * i, GE_IDENTITY);
+      ok[i] = 0;
+    }
+  }
+  return good;
+}
+
+}  // extern "C"

@@ -1,0 +1,104 @@
+"""Cross-checks: native C++ curve backend (native/ristretto.cpp) vs the
+pure-Python oracle in core/ristretto.py.
+
+The native backend reduces scalars mod l at the boundary; results may
+differ from the pure path by a 4-torsion component, which ristretto
+encode/equality quotient out -- so comparisons go through compress().
+"""
+
+import secrets
+
+import pytest
+
+from bulletproofs_tpu.core import ristretto as R
+from bulletproofs_tpu.core.ristretto import (RISTRETTO_BASEPOINT,
+                                             RistrettoPoint, multiscalar_mul)
+from bulletproofs_tpu.core.scalar import Scalar
+
+pytestmark = pytest.mark.skipif(R._NATIVE is None,
+                                reason="native curve backend not built")
+
+
+def _pure(monkeypatch):
+    monkeypatch.setattr(R, "_NATIVE", None)
+
+
+def _rand_scalar():
+    return Scalar(int.from_bytes(secrets.token_bytes(32), "little"))
+
+
+def test_scalar_mul_matches_pure(monkeypatch):
+    B = RISTRETTO_BASEPOINT
+    ks = [_rand_scalar() for _ in range(4)]
+    native = [B.scalar_mul(k).compress() for k in ks]
+    _pure(monkeypatch)
+    pure = [B.scalar_mul(k).compress() for k in ks]
+    assert native == pure
+
+
+def test_compress_decompress_matches_pure(monkeypatch):
+    pts = [RISTRETTO_BASEPOINT.scalar_mul(_rand_scalar()) for _ in range(4)]
+    native_enc = [p.compress() for p in pts]
+    native_dec = [RistrettoPoint.decompress(e) for e in native_enc]
+    _pure(monkeypatch)
+    assert [p.compress() for p in pts] == native_enc
+    for e, d in zip(native_enc, native_dec):
+        assert RistrettoPoint.decompress(e) == d
+    # invalid encodings rejected identically
+    for bad in (b"\xff" * 32, (1).to_bytes(32, "little"), b"\x01" + b"\x00" * 31):
+        r_pure = RistrettoPoint.decompress(bad)
+        monkeypatch.undo()
+        assert RistrettoPoint.decompress(bad) == r_pure
+
+
+def test_from_uniform_matches_pure(monkeypatch):
+    seeds = [secrets.token_bytes(64) for _ in range(4)]
+    native = [RistrettoPoint.from_uniform_bytes(s).compress() for s in seeds]
+    _pure(monkeypatch)
+    assert [RistrettoPoint.from_uniform_bytes(s).compress() for s in seeds] == native
+
+
+def test_msm_matches_pure(monkeypatch):
+    B = RISTRETTO_BASEPOINT
+    for n in (1, 2, 5, 33, 130):
+        pts = [B.scalar_mul(Scalar(secrets.randbelow(1 << 64) | 1))
+               for _ in range(n)]
+        scs = [_rand_scalar() for _ in range(n)]
+        native = multiscalar_mul(scs, pts).compress()
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(R, "_NATIVE", None)
+            pure = multiscalar_mul(scs, pts).compress()
+        assert native == pure, f"n={n}"
+
+
+def test_msm_zero_and_identity_edge_cases():
+    B = RISTRETTO_BASEPOINT
+    assert multiscalar_mul([], []).is_identity()
+    assert multiscalar_mul([Scalar(0)], [B]).is_identity()
+    assert multiscalar_mul([Scalar(0), Scalar(0)], [B, B + B]).is_identity()
+    got = multiscalar_mul([Scalar(1), Scalar(0), Scalar(2)],
+                          [RistrettoPoint.identity(), B, B])
+    assert got == B + B
+
+
+def test_native_sum_and_fold():
+    import ctypes
+    B = RISTRETTO_BASEPOINT
+    pts = [B.scalar_mul(Scalar(i + 1)) for i in range(5)]
+    packed = b"".join(R._to_ext(p) for p in pts)
+    out = ctypes.create_string_buffer(128)
+    R._NATIVE.rist_sum(len(pts), packed, out)
+    exp = pts[0]
+    for p in pts[1:]:
+        exp = exp + p
+    assert R._from_ext(out.raw) == exp
+
+    x = _rand_scalar()
+    a_pts, b_pts = pts[:2], pts[2:4]
+    outs = ctypes.create_string_buffer(256)
+    R._NATIVE.rist_fold(2, b"".join(R._to_ext(p) for p in a_pts),
+                        b"".join(R._to_ext(p) for p in b_pts),
+                        x.v.to_bytes(32, "little"), outs)
+    for i in range(2):
+        got = R._from_ext(outs.raw[128 * i:128 * (i + 1)])
+        assert got == a_pts[i] + b_pts[i].scalar_mul(x)
