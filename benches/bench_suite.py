@@ -119,7 +119,7 @@ def bench_r1cs():
     from test_r1cs import shuffle_gadget
     rng = Rng()
     pc = PedersenGens()
-    for k in (8, 64, 256):
+    for k in (8, 64, 256, 1024):
         bp = BulletproofGens(2 * k, 1)
         rr = random.Random(k)
         inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
@@ -233,6 +233,3 @@ if __name__ == "__main__":
     with open(out, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
     print("wrote", out)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
-    json.dump(RESULTS, open(out, "w"), indent=1)
-    print(f"wrote {out}")

@@ -56,15 +56,24 @@ class LinearProof:
         transcript.append_point(b"F", F.compress())
         transcript.append_point(b"B", B.compress())
 
-        a, b, G = list(a_vec), list(b_vec), list(G_vec)
+        a, b = list(a_vec), list(b_vec)
         L_vec: List[bytes] = []
         R_vec: List[bytes] = []
+
+        # Generator folding (reference :131-143 `G_L[i] <- G_L[i] + x_j G_R[i]`)
+        # never materializes: the current G'[i] equals
+        # sum_{k = i (mod 2m)} g_coef[k] * G_vec[k] with g_coef[k] the
+        # subset product of past challenges selected by k's high bits
+        # (exponents in {0,1} -- the prover-side mirror of `subset_product`,
+        # reference :292-314).  L/R become single MSMs over the fixed G_vec.
+        n_full = n
+        g_coef = [Scalar.one()] * n_full
+        G0 = list(G_vec)
 
         while n != 1:
             n //= 2
             a_L, a_R = a[:n], a[n:]
             b_L, b_R = b[:n], b[n:]
-            G_L, G_R = G[:n], G[n:]
 
             c_L = inner_product(a_L, b_R)
             c_R = inner_product(a_R, b_L)
@@ -72,8 +81,21 @@ class LinearProof:
             s_j = Scalar.random(rng)
             t_j = Scalar.random(rng)
 
-            L = multiscalar_mul(a_L + [s_j, c_L], G_R + [B, F]).compress()
-            R = multiscalar_mul(a_R + [t_j, c_R], G_L + [B, F]).compress()
+            period = 2 * n
+            sc_L = [s_j, c_L]
+            pt_L = [B, F]
+            sc_R = [t_j, c_R]
+            pt_R = [B, F]
+            for k in range(n_full):
+                rk = k % period
+                if rk >= n:  # current G_R half
+                    sc_L.append(a_L[rk - n] * g_coef[k])
+                    pt_L.append(G0[k])
+                else:        # current G_L half
+                    sc_R.append(a_R[rk] * g_coef[k])
+                    pt_R.append(G0[k])
+            L = multiscalar_mul(sc_L, pt_L).compress()
+            R = multiscalar_mul(sc_R, pt_R).compress()
 
             L_vec.append(L)
             R_vec.append(R)
@@ -86,14 +108,17 @@ class LinearProof:
             for i in range(n):
                 a_L[i] = a_L[i] + x_j_inv * a_R[i]
                 b_L[i] = b_L[i] + x_j * b_R[i]
-                G_L[i] = multiscalar_mul([Scalar.one(), x_j], [G_L[i], G_R[i]])
-            a, b, G = a_L, b_L, G_L
+            for k in range(n_full):
+                if k % period >= n:  # folded in from the R half with weight x_j
+                    g_coef[k] = g_coef[k] * x_j
+            a, b = a_L, b_L
             r = r + x_j * s_j + x_j_inv * t_j
 
         s_star = Scalar.random(rng)
         t_star = Scalar.random(rng)
+        G_final = multiscalar_mul(g_coef, G0)
         S = (B.scalar_mul(t_star) + F.scalar_mul(s_star * b[0])
-             + G[0].scalar_mul(s_star)).compress()
+             + G_final.scalar_mul(s_star)).compress()
         transcript.append_point(b"S", S)
 
         x_star = transcript.challenge_scalar(b"x_star")
