@@ -194,13 +194,20 @@ def msm_host_auto(scalars, points):
     """Host-facing MSM for the single-proof provers/verifiers: the native
     C++ backend below a size floor, the TPU kernel above it.
 
-    With the C++ backend built, small MSMs finish in ~2 ms on host --
-    faster than a single device dispatch -- so the device only pays off
-    for large aggregations / R1CS mega-MSMs.  Without it, the pure-Python
-    oracle is so slow that the device wins from 32 points up."""
+    With the C++ backend built, the host Pippenger runs ~8 M point-adds/s
+    with zero dispatch latency; a single device MSM pays one H2D transfer
+    (128 B/point) plus a blocking sync, so the crossover sits around 2^18
+    points on locally-attached hardware (far higher over a development
+    tunnel).  Without the C++ backend, the pure-Python oracle is so slow
+    that the device wins from 32 points up.  BPTPU_MSM_DEVICE_FLOOR
+    overrides the crossover."""
+    import os
     points = list(points)
     from ..core._native import LIB
-    floor = 8192 if LIB is not None else 32
+    floor = (1 << 18) if LIB is not None else 32
+    env = os.environ.get("BPTPU_MSM_DEVICE_FLOOR")
+    if env:
+        floor = int(env)
     if on_tpu() and len(points) >= floor:
         return msm(scalars, points)
     from ..core.ristretto import multiscalar_mul

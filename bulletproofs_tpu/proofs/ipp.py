@@ -69,6 +69,11 @@ class InnerProductProof:
         G0 = list(G)
         H0 = list(H)
 
+        # Each round's MSM spans n+1 points regardless of the round index,
+        # so large instances (R1CS mega-circuits) route to the device kernel
+        # while small ones stay on the native host backend.
+        from ..ops.vec_msm import msm_host_auto as _msm
+
         while n != 1:
             n //= 2
             a_L, a_R = a[:n], a[n:]
@@ -94,8 +99,8 @@ class InnerProductProof:
                     pt_R.append(G0[k])
                     sc_L.append(b_R[r] * h_coef[k])
                     pt_L.append(H0[k])
-            L = multiscalar_mul(sc_L, pt_L)
-            R = multiscalar_mul(sc_R, pt_R)
+            L = _msm(sc_L, pt_L)
+            R = _msm(sc_R, pt_R)
 
             Lc, Rc = L.compress(), R.compress()
             L_vec.append(Lc)
