@@ -231,6 +231,29 @@ def _basepoint() -> RistrettoPoint:
 RISTRETTO_BASEPOINT = _basepoint()
 
 
+def pack_points(points) -> bytes:
+    """Pack points into the 128-byte-per-point native boundary format once,
+    for repeated MSMs over a fixed basis (IPP rounds, fixed generators)."""
+    return b"".join(_to_ext(p) for p in points)
+
+
+def msm_packed(scalars, packed: bytes) -> RistrettoPoint:
+    """MSM over a pre-packed point buffer (see pack_points).  `scalars` are
+    Scalars or ints; zero scalars cost only digit extraction, so callers
+    may mask out points by zeroing their coefficients."""
+    n = len(packed) // 128
+    assert len(scalars) == n
+    if _NATIVE is not None:
+        spack = b"".join(
+            ((s.v if isinstance(s, Scalar) else int(s)) % L).to_bytes(32, "little")
+            for s in scalars)
+        out = _ct.create_string_buffer(128)
+        _NATIVE.rist_msm(n, spack, packed, out)
+        return _from_ext(out.raw)
+    return multiscalar_mul(
+        scalars, [_from_ext(packed[128 * i:128 * (i + 1)]) for i in range(n)])
+
+
 def multiscalar_mul(scalars, points) -> RistrettoPoint:
     """Host Pippenger MSM (test oracle / small-input path).
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import List
 
 from ..core.ristretto import RistrettoPoint, multiscalar_mul
-from ..core.scalar import Scalar, batch_invert
+from ..core.scalar import Scalar, batch_invert, L as _L_ORDER
 from ..errors import ProofError
 from ..transcript import Transcript
 from ..utils.util import inner_product
@@ -64,15 +64,21 @@ class InnerProductProof:
         # G_factors/H_factors of the reference's first round (:77-141) are
         # simply the initial coefficients.
         n_full = n
-        g_coef = list(G_factors)
-        h_coef = list(H_factors)
-        G0 = list(G)
-        H0 = list(H)
+        # coefficients as raw ints mod l: ~1M Scalar wrappers per large
+        # proof otherwise dominate the round loop
+        g_coef = [s.v for s in G_factors]
+        h_coef = [s.v for s in H_factors]
 
-        # Each round's MSM spans n+1 points regardless of the round index,
-        # so large instances (R1CS mega-circuits) route to the device kernel
-        # while small ones stay on the native host backend.
-        from ..ops.vec_msm import msm_host_auto as _msm
+        from ..core.ristretto import _NATIVE, pack_points, msm_packed
+        if _NATIVE is not None:
+            # pack the fixed basis [G | H | Q] once; each round masks the
+            # inactive half with zero coefficients (zero digits skip bucket
+            # work in the native Pippenger)
+            basis = pack_points(list(G) + list(H) + [Q])
+        else:
+            from ..ops.vec_msm import msm_host_auto as _msm
+            G0 = list(G)
+            H0 = list(H)
 
         while n != 1:
             n //= 2
@@ -83,24 +89,40 @@ class InnerProductProof:
             c_R = inner_product(a_R, b_L)
 
             period = 2 * n
-            sc_L = [c_L]
-            pt_L = [Q]
-            sc_R = [c_R]
-            pt_R = [Q]
-            for k in range(n_full):
-                r = k % period
-                if r >= n:  # k lands in the current G_R / H_R half
-                    sc_L.append(a_L[r - n] * g_coef[k])
-                    pt_L.append(G0[k])
-                    sc_R.append(b_L[r - n] * h_coef[k])
-                    pt_R.append(H0[k])
-                else:       # current G_L / H_L half
-                    sc_R.append(a_R[r] * g_coef[k])
-                    pt_R.append(G0[k])
-                    sc_L.append(b_R[r] * h_coef[k])
-                    pt_L.append(H0[k])
-            L = _msm(sc_L, pt_L)
-            R = _msm(sc_R, pt_R)
+            if _NATIVE is not None:
+                sc_L = [0] * (2 * n_full + 1)
+                sc_R = [0] * (2 * n_full + 1)
+                sc_L[2 * n_full] = c_L.v
+                sc_R[2 * n_full] = c_R.v
+                for k in range(n_full):
+                    r = k % period
+                    if r >= n:  # k lands in the current G_R / H_R half
+                        sc_L[k] = a_L[r - n].v * g_coef[k] % _L_ORDER
+                        sc_R[n_full + k] = b_L[r - n].v * h_coef[k] % _L_ORDER
+                    else:       # current G_L / H_L half
+                        sc_R[k] = a_R[r].v * g_coef[k] % _L_ORDER
+                        sc_L[n_full + k] = b_R[r].v * h_coef[k] % _L_ORDER
+                L = msm_packed(sc_L, basis)
+                R = msm_packed(sc_R, basis)
+            else:
+                sc_L = [c_L]
+                pt_L = [Q]
+                sc_R = [c_R]
+                pt_R = [Q]
+                for k in range(n_full):
+                    r = k % period
+                    if r >= n:
+                        sc_L.append(a_L[r - n].v * g_coef[k] % _L_ORDER)
+                        pt_L.append(G0[k])
+                        sc_R.append(b_L[r - n].v * h_coef[k] % _L_ORDER)
+                        pt_R.append(H0[k])
+                    else:
+                        sc_R.append(a_R[r].v * g_coef[k] % _L_ORDER)
+                        pt_R.append(G0[k])
+                        sc_L.append(b_R[r].v * h_coef[k] % _L_ORDER)
+                        pt_L.append(H0[k])
+                L = _msm(sc_L, pt_L)
+                R = _msm(sc_R, pt_R)
 
             Lc, Rc = L.compress(), R.compress()
             L_vec.append(Lc)
@@ -110,17 +132,18 @@ class InnerProductProof:
 
             u = transcript.challenge_scalar(b"u")
             u_inv = u.invert()
+            uv, uiv = u.v, u_inv.v
 
             for i in range(n):
                 a_L[i] = a_L[i] * u + u_inv * a_R[i]
                 b_L[i] = b_L[i] * u_inv + u * b_R[i]
             for k in range(n_full):
                 if k % period >= n:  # folded in from the R half: G' = uG_R + ...
-                    g_coef[k] = g_coef[k] * u
-                    h_coef[k] = h_coef[k] * u_inv
+                    g_coef[k] = g_coef[k] * uv % _L_ORDER
+                    h_coef[k] = h_coef[k] * uiv % _L_ORDER
                 else:                # L half: G' = u^-1 G_L + ...
-                    g_coef[k] = g_coef[k] * u_inv
-                    h_coef[k] = h_coef[k] * u
+                    g_coef[k] = g_coef[k] * uiv % _L_ORDER
+                    h_coef[k] = h_coef[k] * uv % _L_ORDER
 
             a, b = a_L, b_L
 
