@@ -53,6 +53,18 @@ def _load():
         lib.rist_batch_compress.restype = None
         lib.rist_batch_decompress.argtypes = [sz] + [ctypes.c_char_p] * 3
         lib.rist_batch_decompress.restype = ctypes.c_int
+        for name, nargs in (("sc_vec_mul", 3), ("sc_vec_add", 3),
+                            ("sc_vec_scale", 3), ("sc_vec_inner", 3),
+                            ("sc_powers", 2)):
+            fn = getattr(lib, name)
+            fn.argtypes = [sz] + [ctypes.c_char_p] * nargs
+            fn.restype = None
+        lib.sc_vec_batch_invert.argtypes = [sz, ctypes.c_char_p]
+        lib.sc_vec_batch_invert.restype = None
+        lib.ipp_round_scalars.argtypes = [sz, sz] + [ctypes.c_char_p] * 8
+        lib.ipp_round_scalars.restype = None
+        lib.ipp_fold.argtypes = [sz, sz] + [ctypes.c_char_p] * 6
+        lib.ipp_fold.restype = None
         del u8p
         return lib
     except (OSError, AttributeError):

@@ -64,21 +64,67 @@ class InnerProductProof:
         # G_factors/H_factors of the reference's first round (:77-141) are
         # simply the initial coefficients.
         n_full = n
-        # coefficients as raw ints mod l: ~1M Scalar wrappers per large
-        # proof otherwise dominate the round loop
+        from ..core.ristretto import _NATIVE, pack_points
+
+        if _NATIVE is not None and n > 1:
+            # Fully-native round loop: pack the fixed basis [G | H | Q] and
+            # the scalar state once; each round is two C calls (scalar prep
+            # incl. c_L/c_R, then fold) plus two native MSM+compress calls.
+            # Python only orchestrates the lg(n) transcript interactions.
+            import ctypes as _ct
+            basis = pack_points(list(G) + list(H) + [Q])
+            total = 2 * n_full + 1
+
+            def _pack_sc(xs):
+                data = b"".join(s.v.to_bytes(32, "little") for s in xs)
+                return _ct.create_string_buffer(data, len(data))
+
+            a_buf = _pack_sc(a)
+            b_buf = _pack_sc(b)
+            g_buf = _pack_sc(G_factors)
+            h_buf = _pack_sc(H_factors)
+            scL = _ct.create_string_buffer(32 * total)
+            scR = _ct.create_string_buffer(32 * total)
+            cL32 = _ct.create_string_buffer(32)
+            cR32 = _ct.create_string_buffer(32)
+            pt = _ct.create_string_buffer(128)
+            enc = _ct.create_string_buffer(32)
+
+            while n != 1:
+                n //= 2
+                # the c_L/c_R slot is the basis tail (Q)
+                _NATIVE.ipp_round_scalars(n_full, n, a_buf, b_buf,
+                                          g_buf, h_buf, scL, scR, cL32, cR32)
+                scL[32 * (total - 1):32 * total] = cL32.raw[:32]
+                scR[32 * (total - 1):32 * total] = cR32.raw[:32]
+                _NATIVE.rist_msm(total, scL, basis, pt)
+                _NATIVE.rist_compress(pt, enc)
+                Lc = enc.raw[:32]
+                _NATIVE.rist_msm(total, scR, basis, pt)
+                _NATIVE.rist_compress(pt, enc)
+                Rc = enc.raw[:32]
+
+                L_vec.append(Lc)
+                R_vec.append(Rc)
+                transcript.append_point(b"L", Lc)
+                transcript.append_point(b"R", Rc)
+
+                u = transcript.challenge_scalar(b"u")
+                u_inv = u.invert()
+                _NATIVE.ipp_fold(n_full, n, a_buf, b_buf, g_buf, h_buf,
+                                 u.v.to_bytes(32, "little"),
+                                 u_inv.v.to_bytes(32, "little"))
+
+            a0 = Scalar(int.from_bytes(a_buf[0:32], "little"))
+            b0 = Scalar(int.from_bytes(b_buf[0:32], "little"))
+            return cls(L_vec, R_vec, a0, b0)
+
+        # Pure-Python fallback (test oracle / native backend unbuilt)
         g_coef = [s.v for s in G_factors]
         h_coef = [s.v for s in H_factors]
-
-        from ..core.ristretto import _NATIVE, pack_points, msm_packed
-        if _NATIVE is not None:
-            # pack the fixed basis [G | H | Q] once; each round masks the
-            # inactive half with zero coefficients (zero digits skip bucket
-            # work in the native Pippenger)
-            basis = pack_points(list(G) + list(H) + [Q])
-        else:
-            from ..ops.vec_msm import msm_host_auto as _msm
-            G0 = list(G)
-            H0 = list(H)
+        from ..ops.vec_msm import msm_host_auto as _msm
+        G0 = list(G)
+        H0 = list(H)
 
         while n != 1:
             n //= 2
@@ -89,40 +135,24 @@ class InnerProductProof:
             c_R = inner_product(a_R, b_L)
 
             period = 2 * n
-            if _NATIVE is not None:
-                sc_L = [0] * (2 * n_full + 1)
-                sc_R = [0] * (2 * n_full + 1)
-                sc_L[2 * n_full] = c_L.v
-                sc_R[2 * n_full] = c_R.v
-                for k in range(n_full):
-                    r = k % period
-                    if r >= n:  # k lands in the current G_R / H_R half
-                        sc_L[k] = a_L[r - n].v * g_coef[k] % _L_ORDER
-                        sc_R[n_full + k] = b_L[r - n].v * h_coef[k] % _L_ORDER
-                    else:       # current G_L / H_L half
-                        sc_R[k] = a_R[r].v * g_coef[k] % _L_ORDER
-                        sc_L[n_full + k] = b_R[r].v * h_coef[k] % _L_ORDER
-                L = msm_packed(sc_L, basis)
-                R = msm_packed(sc_R, basis)
-            else:
-                sc_L = [c_L]
-                pt_L = [Q]
-                sc_R = [c_R]
-                pt_R = [Q]
-                for k in range(n_full):
-                    r = k % period
-                    if r >= n:
-                        sc_L.append(a_L[r - n].v * g_coef[k] % _L_ORDER)
-                        pt_L.append(G0[k])
-                        sc_R.append(b_L[r - n].v * h_coef[k] % _L_ORDER)
-                        pt_R.append(H0[k])
-                    else:
-                        sc_R.append(a_R[r].v * g_coef[k] % _L_ORDER)
-                        pt_R.append(G0[k])
-                        sc_L.append(b_R[r].v * h_coef[k] % _L_ORDER)
-                        pt_L.append(H0[k])
-                L = _msm(sc_L, pt_L)
-                R = _msm(sc_R, pt_R)
+            sc_L = [c_L]
+            pt_L = [Q]
+            sc_R = [c_R]
+            pt_R = [Q]
+            for k in range(n_full):
+                r = k % period
+                if r >= n:  # k lands in the current G_R / H_R half
+                    sc_L.append(a_L[r - n].v * g_coef[k] % _L_ORDER)
+                    pt_L.append(G0[k])
+                    sc_R.append(b_L[r - n].v * h_coef[k] % _L_ORDER)
+                    pt_R.append(H0[k])
+                else:       # current G_L / H_L half
+                    sc_R.append(a_R[r].v * g_coef[k] % _L_ORDER)
+                    pt_R.append(G0[k])
+                    sc_L.append(b_R[r].v * h_coef[k] % _L_ORDER)
+                    pt_L.append(H0[k])
+            L = _msm(sc_L, pt_L)
+            R = _msm(sc_R, pt_R)
 
             Lc, Rc = L.compress(), R.compress()
             L_vec.append(Lc)
