@@ -20,7 +20,17 @@ def _load():
         return None
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    so = os.path.join(here, "native", "libbptranscript.so")
+    native_dir = os.path.join(here, "native")
+    so = os.path.join(native_dir, "libbptranscript.so")
+    if not os.path.exists(so):
+        # fresh checkout: build once (quiet); fall back to pure Python on
+        # any failure
+        import subprocess
+        try:
+            subprocess.run(["sh", "build.sh"], cwd=native_dir,
+                           capture_output=True, timeout=600, check=True)
+        except Exception:
+            return None
     if not os.path.exists(so):
         return None
     try:

@@ -90,6 +90,7 @@ def _try_load_native():
     if _native is not None:
         return _native
     import ctypes, os
+    from ..core import _native as _core_native  # auto-builds the .so if absent
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so = os.path.join(here, "native", "libbptranscript.so")
     if os.path.exists(so):
