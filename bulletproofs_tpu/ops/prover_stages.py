@@ -229,6 +229,29 @@ def round_fold(n: int, nk: int, a, b, gw, hw, u, uinv):
     h = nk // 2
     hi, *_ = _slot_maps(n, nk)
     lo_m = jnp.asarray(~hi)[None, :, None]
+    p = a.shape[2]
+
+    from . import fold_pallas as FP
+    if FP.usable(h * p) and FP.usable(n * p):
+        # fused VMEM kernels: one dispatch per compound op instead of a
+        # ~40-op HBM-bound XLA chain per smul
+        bu = jnp.broadcast_to(u[:, None, :], (L, h, p)).reshape(L, h * p)
+        bui = jnp.broadcast_to(uinv[:, None, :], (L, h, p)).reshape(L, h * p)
+        na = FP.fold_lanes(a[:, :h].reshape(L, h * p),
+                           a[:, h:nk].reshape(L, h * p), bu, bui
+                           ).reshape(L, h, p)
+        nb = FP.fold_lanes(b[:, :h].reshape(L, h * p),
+                           b[:, h:nk].reshape(L, h * p), bui, bu
+                           ).reshape(L, h, p)
+        a = jnp.concatenate([na, a[:, h:]], axis=1)
+        b = jnp.concatenate([nb, b[:, h:]], axis=1)
+        mul_g = jnp.where(lo_m, _bcast(uinv, n), _bcast(u, n))
+        mul_h = jnp.where(lo_m, _bcast(u, n), _bcast(uinv, n))
+        gw = FP.smul_lanes(gw.reshape(L, n * p),
+                           mul_g.reshape(L, n * p)).reshape(L, n, p)
+        hw = FP.smul_lanes(hw.reshape(L, n * p),
+                           mul_h.reshape(L, n * p)).reshape(L, n, p)
+        return a, b, gw, hw
 
     na = _vadd(_vmul(a[:, :h], _bcast(u, h)), _vmul(a[:, h:nk], _bcast(uinv, h)))
     nb = _vadd(_vmul(b[:, :h], _bcast(uinv, h)), _vmul(b[:, h:nk], _bcast(u, h)))
