@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .limbs import NLIMBS
-from .verify_pallas import _SCONSTS, _mat, _smul, _sadd, _KQ
+from .verify_pallas import _SCONSTS, _mat, _smul, _sadd, _digits64, _KQ
 
 L = NLIMBS
 BLKN = 512          # lane columns per grid cell
@@ -31,6 +31,9 @@ _INTERPRET = False
 
 
 def usable(n_cols: int) -> bool:
+    import os
+    if os.environ.get("BPTPU_NO_FOLD_PALLAS"):
+        return False
     from .vec_msm import on_tpu
     return (on_tpu() or _INTERPRET) and n_cols % BLKN == 0
 
@@ -89,3 +92,27 @@ def fold_lanes(x: jnp.ndarray, y: jnp.ndarray,
 def smul_lanes(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """x*m elementwise mod l over (L, N) limb tensors."""
     return _call(_smul_kernel, (x, m))
+
+
+def _digits_kernel(x_ref, out_ref):
+    out_ref[:] = _digits64(x_ref[:])
+
+
+@jax.jit
+def digits_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """(L, N) lazy limbs (< 2^256) -> (64, N) 4-bit digit rows; the fused
+    form of vec_scalar.digits64 (19-step exact carry + 64 nibble extracts
+    stay in VMEM instead of ~85 HBM round-trips)."""
+    n_cols = x.shape[-1]
+    blk = _blk(n_cols)
+    T = n_cols // blk
+    return pl.pallas_call(
+        _digits_kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((L, blk), lambda t: (0, t),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((64, blk), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((64, n_cols), jnp.int32),
+        interpret=_INTERPRET,
+    )(x)

@@ -45,7 +45,11 @@ def _coef_digits(coef: jnp.ndarray) -> jnp.ndarray:
     """(L, nb, Q) coefficient limbs -> (nb * 64, Q) digit stream
     (s = j * 64 + w, matching fixed_msm's table order)."""
     nb, q = coef.shape[1], coef.shape[2]
-    d = S.digits64(coef.reshape(L, nb * q)).reshape(64, nb, q)
+    from . import fold_pallas as FP
+    if FP.usable(nb * q):
+        d = FP.digits_lanes(coef.reshape(L, nb * q)).reshape(64, nb, q)
+    else:
+        d = S.digits64(coef.reshape(L, nb * q)).reshape(64, nb, q)
     return jnp.transpose(d, (1, 0, 2)).reshape(nb * 64, q)
 
 

@@ -53,7 +53,10 @@ _BIT_OFF = np.array([(7 * w) % 8 for w in range(NUM_WINDOWS)], np.int32)
 def scalars_to_bytes(scalars: Sequence) -> np.ndarray:
     """Host ints / Scalars -> (N, 33) uint8 little-endian (one pad byte so
     the two-byte digit window never reads out of bounds)."""
-    vals = [s.v if hasattr(s, "v") else int(s) for s in scalars]
+    from ..core.scalar import L as _ELL
+    # the signed-digit kernels assume scalars < l; reduction only moves the
+    # result within its ristretto coset
+    vals = [s.v if hasattr(s, "v") else int(s) % _ELL for s in scalars]
     buf = b"".join(v.to_bytes(33, "little") for v in vals)
     return np.frombuffer(buf, np.uint8).reshape(len(vals), 33)
 

@@ -60,3 +60,17 @@ def test_multi_tile_grid():
     m, mv = _rand_limbs(rng, N)
     got = _to_ints(FP.smul_lanes(x, m))
     assert got == [a * b % ELL for a, b in zip(xv, mv)]
+
+
+def test_digits_lanes_matches_oracle():
+    import random
+    rng = random.Random(9)
+    N = FP.BLKN
+    x, xv = _rand_limbs(rng, N)
+    got = np.asarray(FP.digits_lanes(x))
+    exp = np.asarray(S.digits64(x))
+    assert (got == exp).all()
+    # digit recomposition round-trips the values
+    recon = [sum(int(got[w, i]) << (4 * w) for w in range(64))
+             for i in range(N)]
+    assert recon == xv
