@@ -25,8 +25,28 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
     ge_to_ext_bytes(out, GE_IDENTITY);
     return;
   }
-  std::vector<Ge> pts(n);
-  for (size_t i = 0; i < n; ++i) ge_from_ext_bytes(pts[i], points + 128 * i);
+  // Compact away zero scalars: masked-basis callers (the IPP round loop)
+  // pass half-zero coefficient vectors, and the window size must reflect
+  // the EFFECTIVE point count or bucket reduction dominates.
+  std::vector<Ge> pts;
+  std::vector<const uint8_t*> scs;
+  pts.reserve(n);
+  scs.reserve(n);
+  for (size_t i = 0; i < n; ++i) {
+    const uint8_t* s = scalars + 32 * i;
+    bool zero = true;
+    for (int j = 0; j < 32; ++j)
+      if (s[j]) { zero = false; break; }
+    if (zero) continue;
+    pts.emplace_back();
+    ge_from_ext_bytes(pts.back(), points + 128 * i);
+    scs.push_back(s);
+  }
+  n = pts.size();
+  if (n == 0) {
+    ge_to_ext_bytes(out, GE_IDENTITY);
+    return;
+  }
 
   // window size balancing stream adds (nwin*n) vs bucket reduction
   // (nwin*2^(c+1)) -- reduction dominates if c grows too early
@@ -46,7 +66,7 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
     const int bit0 = w * c;
     for (size_t i = 0; i < n; ++i) {
       // extract c bits starting at bit0 from the 32-byte LE scalar
-      const uint8_t* s = scalars + 32 * i;
+      const uint8_t* s = scs[i];
       const int byte0 = bit0 >> 3, shift = bit0 & 7;
       uint32_t window = s[byte0] >> shift;
       if (byte0 + 1 < 32) window |= (uint32_t)s[byte0 + 1] << (8 - shift);
