@@ -18,9 +18,18 @@ using namespace fe255;
 
 extern "C" {
 
+// IFMA fast paths (ristretto_ifma.cpp); return 0 when unsupported.
+int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
+                  uint8_t out[128]);
+int rist_scalar_mul_ifma(const uint8_t pt[128], const uint8_t sc[32],
+                         uint8_t out[128]);
+int rist_fold_ifma(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
+                   const uint8_t sc[32], uint8_t* out);
+
 // out = sum_i scalars[i] * points[i]; vartime bucketed Pippenger.
 void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
               uint8_t out[128]) {
+  if (rist_msm_ifma(n, scalars, points, out)) return;
   if (n == 0) {
     ge_to_ext_bytes(out, GE_IDENTITY);
     return;
@@ -50,7 +59,7 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
 
   // window size balancing stream adds (nwin*n) vs bucket reduction
   // (nwin*2^(c+1)) -- reduction dominates if c grows too early
-  const int c = n < 16 ? 4 : (n < 128 ? 6 : (n < 2048 ? 8 : (n < 32768 ? 10 : 12)));
+  const int c = n < 32 ? 4 : (n < 1024 ? 6 : (n < 8192 ? 8 : (n < 32768 ? 10 : 12)));
   const int nwin = (253 + c - 1) / c;
   const size_t nbuckets = (size_t)1 << c;
   std::vector<Ge> buckets(nbuckets);
@@ -101,6 +110,7 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
 
 void rist_scalar_mul(const uint8_t pt[128], const uint8_t sc[32],
                      uint8_t out[128]) {
+  if (rist_scalar_mul_ifma(pt, sc, out)) return;
   Ge p, r;
   ge_from_ext_bytes(p, pt);
   ge_scalar_mul(r, p, sc);
@@ -129,6 +139,7 @@ void rist_sum(size_t n, const uint8_t* pts, uint8_t out[128]) {
 // out[i] = a[i] + x * b[i]  (generator folds)
 void rist_fold(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
                const uint8_t sc[32], uint8_t* out) {
+  if (rist_fold_ifma(n, a_pts, b_pts, sc, out)) return;
   Ge a, b, xb;
   for (size_t i = 0; i < n; ++i) {
     ge_from_ext_bytes(a, a_pts + 128 * i);
