@@ -124,6 +124,7 @@ def _finalize_kernel(buckets: jnp.ndarray) -> jnp.ndarray:
     G (shape-stable across MSM sizes)."""
     W = NUM_WINDOWS
     g = buckets.shape[-1]
+    assert g & (g - 1) == 0, f"group count {g} must be a power of two"
     while g > 1:
         g //= 2
         buckets = C.add(buckets[..., :g], buckets[..., g: 2 * g])

@@ -103,6 +103,9 @@ def sharded_msm_lanes(points: jnp.ndarray, scalars, mesh: Mesh,
         k_steps = max(1, -(-shard // groups_per_device))
         k_steps = 1 << (k_steps - 1).bit_length() if k_steps > 1 else 1
         groups = max(1, -(-shard // k_steps))
+        # _finalize_kernel reduces groups by a halving tree; a non-power-of-2
+        # G silently drops the trailing groups
+        groups = 1 << (groups - 1).bit_length()
         padded = ndev * groups * k_steps
 
     if padded != n:

@@ -44,6 +44,23 @@ def test_sharded_msm_matches_host_oracle():
     assert got == exp
 
 
+def test_sharded_msm_non_pow2_groups():
+    """N=19 over 8 devices -> 3 groups/device before rounding; the finalize
+    halving tree silently dropped the odd group (regression)."""
+    mesh = _mesh8()
+    rng = np.random.RandomState(7)
+    N = 19
+    pts_host = [RISTRETTO_BASEPOINT.scalar_mul(
+        Scalar(int.from_bytes(rng.bytes(16), "little") | 1)) for _ in range(N)]
+    from bulletproofs_tpu.core.scalar import L as ELL
+    scalars = [int.from_bytes(rng.bytes(32), "little") % ELL for _ in range(N)]
+    pts = jnp.asarray(C.points_to_lanes(pts_host))
+    out = jax.device_get(sharded_msm_lanes(pts, scalars, mesh))
+    got = C.lanes_to_points(np.asarray(out).reshape(4, 20, 1))[0]
+    exp = multiscalar_mul([Scalar(s) for s in scalars], pts_host)
+    assert got == exp
+
+
 @pytest.mark.slow
 def test_mesh_batch_verifier_accepts_and_rejects(rng=Rng()):
     mesh = _mesh8()
