@@ -15,9 +15,35 @@ Also reports the raw MSM rate at 2^16 points on stderr.
 """
 
 import json
+import os
 import secrets
+import subprocess
 import sys
 import time
+
+
+def _ensure_device_or_fallback(timeout_s: int = 150) -> bool:
+    """The axon tunnel can hang jax.devices() forever when its relay is
+    down.  Probe device init in a subprocess; on hang/failure re-exec this
+    bench on the CPU backend (annotated metric) instead of stalling the
+    driver.  Returns True when running in CPU-fallback mode."""
+    if os.environ.get("BPTPU_BENCH_CPU_FALLBACK") == "1":
+        return True
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc == 0:
+        return False
+    log(f"device init probe failed (rc={rc}); re-running on CPU backend")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BPTPU_BENCH_CPU_FALLBACK"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 class Rng:
@@ -31,6 +57,7 @@ def log(*a):
 
 
 def main():
+    cpu_fallback = _ensure_device_or_fallback()
     import jax
     import numpy as np
     from bulletproofs_tpu import (BulletproofGens, PedersenGens, RangeProof,
@@ -43,7 +70,7 @@ def main():
     log(f"generators: {time.time()-t0:.1f}s")
 
     n = 64
-    batch = 4096
+    batch = 256 if cpu_fallback else 4096
     rng = Rng()
 
     # batch proving (TPU batch prover; secondary metric on stderr)
@@ -75,7 +102,7 @@ def main():
 
     # best-of-N: the tunnel adds heavy-tailed latency noise, so the fastest
     # repetition is the honest hardware number
-    iters = 7
+    iters = 3 if cpu_fallback else 7
     dts = []
     for _ in range(iters):
         t0 = time.time()
@@ -90,10 +117,12 @@ def main():
 
     # secondary metric: raw MSM points/s at 2^16 (stderr only)
     try:
+        if cpu_fallback:
+            raise RuntimeError("skipped in CPU fallback")
         import jax.numpy as jnp
         from bulletproofs_tpu.ops import vec_curve as C
         from bulletproofs_tpu.ops import vec_msm
-        N = 1 << 16
+        N = 1 << (12 if cpu_fallback else 16)
         raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
         pts = C.from_uniform_bytes(raw)
         sbytes = vec_msm.scalars_to_bytes(
@@ -108,8 +137,11 @@ def main():
         log(f"MSM bench skipped: {e}")
 
     baseline = 1e6 / 1040  # reference verifications/s
+    metric = "batched 64-bit rangeproof verification throughput"
+    if cpu_fallback:
+        metric += " (CPU fallback: TPU tunnel unavailable)"
     print(json.dumps({
-        "metric": "batched 64-bit rangeproof verification throughput",
+        "metric": metric,
         "value": round(rate, 1),
         "unit": "proofs/s",
         "vs_baseline": round(rate / baseline, 3),

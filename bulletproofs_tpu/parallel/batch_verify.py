@@ -51,6 +51,9 @@ def _load_native_prep():
         lib.rangeproof_verify_prep.restype = ctypes.c_int
         lib.rangeproof_verify_prep_batch.restype = ctypes.c_int
         lib.rangeproof_verify_replay_batch.restype = ctypes.c_int
+        lib.rist_batch_decompress.restype = ctypes.c_int
+        lib.rist_is_identity.restype = ctypes.c_int
+        lib.rist_msm.restype = None
         return lib
     except (OSError, AttributeError):
         return None
@@ -72,15 +75,21 @@ class BatchVerifier:
     aggregated range proofs in one fused MSM."""
 
     def __init__(self, bp_gens: BulletproofGens, pc_gens: PedersenGens,
-                 n: int, m: int = 1, mesh=None, use_native: bool = True):
+                 n: int, m: int = 1, mesh=None, use_native: bool = True,
+                 prefer_host=None):
         self.bp_gens = bp_gens
         self.pc_gens = pc_gens
         self.n = n
         self.m = m
         self.mesh = mesh
         self.use_native = use_native and _NATIVE_PREP is not None
+        # prefer_host: None = auto (the all-C++ path on non-TPU platforms),
+        # True/False = force/forbid it
+        self.prefer_host = prefer_host
         static_host = ([pc_gens.B_blinding, pc_gens.B]
                        + bp_gens.G(n, m) + bp_gens.H(n, m))
+        self._static_host = static_host
+        self._static_ext = None      # packed lazily for the host path
         self._static_dev = jnp.asarray(C.points_to_lanes(static_host))
         self._num_static = len(static_host)
 
@@ -98,6 +107,16 @@ class BatchVerifier:
         """
         rng = rng or _SystemRandom()
         assert len(proofs) == len(value_commitments) == len(transcripts)
+        # Host path: replay, decompression, and the mega-MSM all in C++
+        # (IFMA when the CPU supports it).  Without a TPU attached the XLA
+        # lane kernels on CPU are far slower than the native backend, so
+        # auto-route there.
+        host = self.prefer_host
+        if host is None:
+            host = not vec_msm.on_tpu()
+        if host and self.use_native and self.mesh is None:
+            return self._verify_host(proofs, value_commitments, transcripts,
+                                     rng)
         # The Pallas emit kernel's VMEM working set scales with nm (the
         # generator axis rides the lanes; ~16 MB at nm = 64); route larger
         # aggregations through the chunked C++-emit pipeline instead.
@@ -110,6 +129,60 @@ class BatchVerifier:
                                         transcripts, rng)
         else:
             self._verify_python(proofs, value_commitments, transcripts, rng)
+
+    # -- all-host native path (no TPU attached) --------------------------------
+
+    def _verify_host(self, proofs, value_commitments, transcripts, rng):
+        """Everything in C++: one batched transcript replay, batch point
+        decompression, and ONE vartime Pippenger mega-MSM on the host curve
+        backend (native/ristretto.cpp, AVX-512 IFMA 4-way field path when
+        available).  The fast route when no accelerator is attached --
+        mirrors the reference running on curve25519-dalek's SIMD backend."""
+        import ctypes
+
+        n, m = self.n, self.m
+        lg = (n * m).bit_length() - 1
+        n_dyn_per = 4 + 2 * lg + m
+        count = len(proofs)
+        plen = 32 * (9 + 2 * lg)
+        proofs_blob, vcs_blob, dyn_pts_arr = self._serialize(
+            proofs, value_commitments, lg, n_dyn_per, plen)
+
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts),
+            strobe_size * count)
+        cr = rng.randbytes(128 * count)
+        n_dyn = count * n_dyn_per
+        dyn_sc = ctypes.create_string_buffer(32 * n_dyn)
+        static_sc = ctypes.create_string_buffer(32 * self._num_static)
+        rc = _NATIVE_PREP.rangeproof_verify_prep_batch(
+            strobes, ctypes.c_size_t(strobe_size),
+            proofs_blob, ctypes.c_size_t(plen), vcs_blob,
+            ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(count),
+            cr, dyn_sc, static_sc)
+        if rc != 0:
+            raise ProofError.verification()
+        sraw = strobes.raw
+        for i, t in enumerate(transcripts):
+            t.strobe.buf.raw = sraw[i * strobe_size: (i + 1) * strobe_size]
+
+        dyn_ext = ctypes.create_string_buffer(128 * n_dyn)
+        ok = ctypes.create_string_buffer(n_dyn)
+        good = _NATIVE_PREP.rist_batch_decompress(
+            ctypes.c_size_t(n_dyn), dyn_pts_arr.tobytes(), dyn_ext, ok)
+        if good != n_dyn:
+            raise ProofError.verification()
+
+        if self._static_ext is None:
+            from ..core.ristretto import _to_ext
+            self._static_ext = b"".join(_to_ext(p) for p in self._static_host)
+        out = ctypes.create_string_buffer(128)
+        _NATIVE_PREP.rist_msm(
+            ctypes.c_size_t(self._num_static + n_dyn),
+            static_sc.raw + dyn_sc.raw, self._static_ext + dyn_ext.raw, out)
+        if not _NATIVE_PREP.rist_is_identity(out):
+            raise ProofError.verification()
 
     # -- native fused path (single chip) ---------------------------------------
 

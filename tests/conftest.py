@@ -7,6 +7,12 @@ multi-chip path; benches run on the real chip).
 
 import os
 
+# Detach the axon TPU tunnel entirely (it hangs jax device init when its
+# relay is down, and it registers itself even under JAX_PLATFORMS=cpu).
+# Set BPTPU_TEST_TPU=1 to run the suite against the tunnel instead.
+if not os.environ.get("BPTPU_TEST_TPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # No persistent XLA cache in tests: CPU AOT entries compiled on a different
 # machine (the TPU tunnel host) can be feature-mismatched with this host.
@@ -23,11 +29,33 @@ import pytest
 def pytest_configure(config):
     # Pin JAX to the CPU backend for tests: the axon TPU tunnel has ~0.5 s
     # per-op eager latency, and tests must not depend on TPU availability.
-    # (JAX_PLATFORMS=cpu is not honored under the axon plugin, so set the
-    # default device explicitly.)
+    # The tunnel plugin registers at interpreter start (sitecustomize) and
+    # overrides JAX_PLATFORMS, and its backend init HANGS when the relay is
+    # down -- jax.config is the only reliable override, and it must be set
+    # before the first backend init.
     try:
         import jax
+        if not os.environ.get("BPTPU_TEST_TPU"):
+            jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release jitted executables after each test module.
+
+    XLA-CPU JIT code pages accumulate mmap regions; a full-suite run crosses
+    the kernel's vm.max_map_count (65530 here) around the 100th test and
+    dies with a segfault inside compiled code.  Clearing jax's compilation
+    caches between modules keeps the map count bounded."""
+    yield
+    try:
+        import gc
+        import jax
+        jax.clear_caches()
+        gc.collect()
     except Exception:
         pass
 

@@ -25,9 +25,10 @@ def _make_proofs(k, n, rng):
 
 
 @pytest.mark.slow
-def test_batch_verify_accepts_and_rejects(rng):
+@pytest.mark.parametrize("prefer_host", [True, False])
+def test_batch_verify_accepts_and_rejects(rng, prefer_host):
     proofs, vcss, labels = _make_proofs(3, 8, rng)
-    bv = BatchVerifier(BP, PC, n=8, m=1)
+    bv = BatchVerifier(BP, PC, n=8, m=1, prefer_host=prefer_host)
     bv.verify_batch(proofs, vcss, [Transcript(l) for l in labels], rng=rng)
 
     # tampered proof in the batch
@@ -71,7 +72,8 @@ def test_fast_scalar_path_matches_reference_path(rng):
 
 
 @pytest.mark.slow
-def test_batch_verify_aggregated_m2(rng):
+@pytest.mark.parametrize("prefer_host", [True, False])
+def test_batch_verify_aggregated_m2(rng, prefer_host):
     """Fused batching over aggregated (m = 2) proofs."""
     n, m = 8, 2
     proofs, vcss, labels = [], [], []
@@ -83,7 +85,7 @@ def test_batch_verify_aggregated_m2(rng):
         proofs.append(p)
         vcss.append(vcs)
         labels.append(label)
-    bv = BatchVerifier(BP, PC, n=n, m=m)
+    bv = BatchVerifier(BP, PC, n=n, m=m, prefer_host=prefer_host)
     bv.verify_batch(proofs, vcss, [Transcript(l) for l in labels], rng=rng)
     with pytest.raises(ProofError):
         bv.verify_batch(proofs, [vcss[0], vcss[0]],
