@@ -101,6 +101,14 @@ class FixedBaseTables:
         else:
             self.niels = None
 
+    def ensure_niels(self) -> jnp.ndarray:
+        """Build the window tables on demand (CPU interpret-mode tests of
+        the device path; on TPU they are built eagerly at init)."""
+        if self.niels is None:
+            lanes = jnp.asarray(C.points_to_lanes(self.host_points))
+            self.niels = jax.block_until_ready(_make_tables(lanes))
+        return self.niels
+
 
 class SubsetTables:
     """View over a FixedBaseTables restricted to a static base subset
@@ -113,12 +121,19 @@ class SubsetTables:
         base_idx = _np.asarray(base_idx, _np.int32)
         self.num_bases = len(base_idx)
         self.host_points = [full.host_points[j] for j in base_idx]
+        self._full = full
+        self._sel = (base_idx[:, None] * NUM_WINDOWS
+                     + _np.arange(NUM_WINDOWS)[None, :]).reshape(-1)
         if full.niels is not None:
-            sel = (base_idx[:, None] * NUM_WINDOWS
-                   + _np.arange(NUM_WINDOWS)[None, :]).reshape(-1)
-            self.niels = full.niels[:, :, jnp.asarray(sel), :]
+            self.niels = full.niels[:, :, jnp.asarray(self._sel), :]
         else:
             self.niels = None
+
+    def ensure_niels(self) -> jnp.ndarray:
+        if self.niels is None:
+            full = self._full.ensure_niels()
+            self.niels = full[:, :, jnp.asarray(self._sel), :]
+        return self.niels
 
 
 def _on_tpu() -> bool:
@@ -324,7 +339,7 @@ def msm_digits(tables: FixedBaseTables, digits: jnp.ndarray,
     pad_q = (-qn) % qblk
     if pad_s or pad_q:
         digits = jnp.pad(digits, ((0, pad_s), (0, pad_q)))
-    niels = tables.niels
+    niels = tables.ensure_niels()
     if pad_s:
         ident = jnp.zeros((3, niels.shape[1], pad_s, 1), jnp.int32)
         ident = ident.at[0, 0].set(1).at[1, 0].set(1)

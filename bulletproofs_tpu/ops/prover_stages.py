@@ -84,29 +84,66 @@ def stage0(n: int, bits: jnp.ndarray, v_sc: jnp.ndarray, vb: jnp.ndarray,
     return _coef_digits(jnp.concatenate([coef_v, coef_a, coef_s], axis=2))
 
 
+@jax.jit
+def v_digits(v_sc: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
+    """Per-party value commitments V_j = v_j B + vb_j B~: v_sc, vb
+    (L, Q) -> digit stream (2*64, Q) over [B, B~].  Q = m * P columns
+    (party-major: column j*P + p)."""
+    return _coef_digits(jnp.concatenate([_col(v_sc), _col(vb)], axis=1))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
-def stage1(n: int, bits: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
-           sl: jnp.ndarray, sr: jnp.ndarray, t1b: jnp.ndarray,
-           t2b: jnp.ndarray):
-    """-> (l0, l1, r0, r1 (L, n, P), t0, t1, t2 (L, P),
-    T digit stream (2*64, 2P) over [B, B~])."""
+def stage0_agg(N: int, bits: jnp.ndarray, ab: jnp.ndarray, sb: jnp.ndarray,
+               sl: jnp.ndarray, sr: jnp.ndarray) -> jnp.ndarray:
+    """Aggregated bit commitments: one A row and one S row per proof over
+    [B, B~, G..(N), H..(N)] (the trusted local dealer's sums A = sum A_j,
+    S = sum S_j, reference dealer.rs:112-120 -- one blinding draw stands in
+    for the sum of the m parties').  bits (N, P) -> ((2N+2)*64, 2P)."""
     p = bits.shape[-1]
-    ypow = S.power_sequence(y, n)                  # (L, n, P)
+    zero1 = _zeros(1, p)
+    minus_one = jnp.asarray(S.const(ELL - 1))[:, None, :]
+    bit_mask = (bits != 0)[None, :, :]
+    one_limb = jnp.asarray(S.ONE)[:, None, :]
+    aL = jnp.where(bit_mask, jnp.broadcast_to(one_limb, (L, N, p)), 0)
+    aR = jnp.where(bit_mask, 0, jnp.broadcast_to(minus_one, (L, N, p)))
+    coef_a = jnp.concatenate([zero1, _col(ab), aL, aR], axis=1)
+    coef_s = jnp.concatenate([zero1, _col(sb), sl, sr], axis=1)
+    return _coef_digits(jnp.concatenate([coef_a, coef_s], axis=2))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def stage1(n: int, m: int, bits: jnp.ndarray, y: jnp.ndarray,
+           z: jnp.ndarray, sl: jnp.ndarray, sr: jnp.ndarray,
+           t1b: jnp.ndarray, t2b: jnp.ndarray):
+    """bits (n*m, P); vectors (L, n*m, P).  Aggregated statements place
+    party j's bits at rows [j*n, (j+1)*n); position k = j*n + i carries the
+    party offsets y^k and z^(2+j)*2^i (reference party.rs:182-237).
+
+    -> (l0, l1, r0, r1 (L, N, P), t0, t1, t2 (L, P), zz_zpow (L, m, P)
+    the per-party z^(2+j) factors, T digit stream (2*64, 2P) over [B, B~])."""
+    N = n * m
+    ypow = S.power_sequence(y, N)                  # (L, N, P)
     zz = S.smul(z, z)
+    # z^(2+j) per party, then repeated n times to cover position k = j*n+i
+    if m == 1:
+        zz_zpow = zz[:, None, :]
+    else:
+        zz_zpow = _vmul(S.power_sequence(z, m), _bcast(zz, m))
+    offset_zz = jnp.repeat(zz_zpow, n, axis=1)     # (L, N, P)
     neg_z = S.sneg(z)
     z_m1 = S.sadd(z, jnp.asarray(S.const(ELL - 1)))  # z - 1
 
     bit_mask = (bits != 0)[None, :, :]
     # l0 = aL - z; l1 = sL
     one_minus_z = S.sadd(neg_z, jnp.asarray(S.ONE))
-    l0 = jnp.where(bit_mask, _bcast(one_minus_z, n), _bcast(neg_z, n))
+    l0 = jnp.where(bit_mask, _bcast(one_minus_z, N), _bcast(neg_z, N))
     l1 = sl
-    # r0 = y^i * (aR + z) + z^2 * 2^i ; r1 = y^i * sR
-    aRz = jnp.where(bit_mask, _bcast(z, n), _bcast(z_m1, n))
-    pow2 = jnp.asarray(_pow2_const(n))
+    # r0 = y^k * (aR + z) + z^(2+j) * 2^i ; r1 = y^k * sR
+    aRz = jnp.where(bit_mask, _bcast(z, N), _bcast(z_m1, N))
+    pow2 = jnp.asarray(np.tile(_pow2_const(n), (1, m, 1)))
     # renormalize r0: it feeds further smuls (b = r0 + r1 x) whose inputs
     # must stay < 16l = 2^256
-    r0 = _vreduce(_vadd(_vmul(ypow, aRz), _vmul(_bcast(zz, n), pow2)))
+    r0 = _vreduce(_vadd(_vmul(ypow, aRz), _vmul(offset_zz, pow2)))
     r1 = _vmul(ypow, sr)
 
     t0 = S.tree_sum(_vmul(l0, r0))
@@ -117,7 +154,7 @@ def stage1(n: int, bits: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
     coef_t1 = jnp.concatenate([_col(t1), _col(t1b)], axis=1)
     coef_t2 = jnp.concatenate([_col(t2), _col(t2b)], axis=1)
     tdig = _coef_digits(jnp.concatenate([coef_t1, coef_t2], axis=2))
-    return l0, l1, r0, r1, t0, t1, t2, zz, tdig
+    return l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig
 
 
 def _bcast(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -143,14 +180,19 @@ def _vreduce(a: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def stage2(n: int, x: jnp.ndarray, l0, l1, r0, r1, t0, t1, t2, zz,
-           vb: jnp.ndarray, t1b: jnp.ndarray, t2b: jnp.ndarray,
-           ab: jnp.ndarray, sb: jnp.ndarray, yinv: jnp.ndarray):
-    """challenge x -> (a, b (L, n, P), gw, hw (L, n, P),
-    t_x, t_x_blinding, e_blinding (L, P))."""
+def stage2(n: int, x: jnp.ndarray, l0, l1, r0, r1, t0, t1, t2,
+           zz_zpow: jnp.ndarray, vb: jnp.ndarray, t1b: jnp.ndarray,
+           t2b: jnp.ndarray, ab: jnp.ndarray, sb: jnp.ndarray,
+           yinv: jnp.ndarray):
+    """challenge x -> (a, b (L, N, P), gw, hw (L, N, P),
+    t_x, t_x_blinding, e_blinding (L, P)).  n here is the TOTAL vector
+    length N = bitsize * m; zz_zpow/vb are (L, m, P) per-party factors --
+    t_x_blinding = sum_j z^(2+j) vb_j + t1b x + t2b x^2 (party shares of
+    reference party.rs:292-296 summed by the trusted local dealer)."""
     xx = S.smul(x, x)
     t_x = S.sadd(t0, S.sadd(S.smul(t1, x), S.smul(t2, xx)))
-    t_xb = S.sadd(S.smul(zz, vb), S.sadd(S.smul(t1b, x), S.smul(t2b, xx)))
+    zvb = S.tree_sum(_vmul(zz_zpow, vb))
+    t_xb = S.sadd(zvb, S.sadd(S.smul(t1b, x), S.smul(t2b, xx)))
     e_b = S.sadd(ab, S.smul(sb, x))
     a = _vadd(l0, _vmul(l1, _bcast(x, n)))
     b = _vadd(r0, _vmul(r1, _bcast(x, n)))

@@ -58,40 +58,52 @@ _NATIVE = _load_native()
 
 
 class BatchProver:
-    """Caches device tables for (n, m=1) and proves batches of single-value
-    range proofs."""
+    """Caches device tables for (n, m) and proves batches of range proofs.
 
-    def __init__(self, bp_gens: BulletproofGens, pc_gens: PedersenGens, n: int):
+    m = 1 (default) proves single-value statements; m > 1 proves
+    AGGREGATED statements (m values per proof, the local trusted-dealer
+    path of reference mod.rs:234-288) with all nm-length vector math
+    batched on device."""
+
+    def __init__(self, bp_gens: BulletproofGens, pc_gens: PedersenGens,
+                 n: int, m: int = 1):
         if n not in (8, 16, 32, 64):
             raise MPCError(MPCError.INVALID_BITSIZE)
+        if m == 0 or m & (m - 1):
+            raise MPCError(MPCError.INVALID_AGGREGATION)
         if _NATIVE is None:
             raise RuntimeError("native prove engine unavailable "
                                "(build native/libbptranscript.so)")
         self.n = n
+        self.m = m
+        self.N = n * m
         self.bp_gens = bp_gens
         self.pc_gens = pc_gens
-        bases = [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, 1) + bp_gens.H(n, 1)
+        bases = [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, m) + bp_gens.H(n, m)
         self.nb = len(bases)
         self.tables = fixed_msm.FixedBaseTables(bases)
         self.tables_bb = fixed_msm.FixedBaseTables(bases[:2])
+        self.force_device = False    # tests: exercise the device path on CPU
         # per-round active-base subset tables (device path): the L/R MSMs
         # touch half the G's plus the complementary half of the H's
         from ..ops import prover_stages as PS
         self.round_tables = {}
-        nk = n
+        nk = self.N
         while nk > 1:
-            l_set, r_set = PS.round_base_sets(n, nk)
+            l_set, r_set = PS.round_base_sets(self.N, nk)
             self.round_tables[nk] = (
                 fixed_msm.SubsetTables(self.tables, l_set),
                 fixed_msm.SubsetTables(self.tables, r_set))
             nk //= 2
 
-    def prove_batch(self, values: Sequence[int], blindings: Sequence[Scalar],
+    def prove_batch(self, values: Sequence, blindings: Sequence,
                     transcripts: List[Transcript], rng=None
-                    ) -> Tuple[List[RangeProof], List[bytes]]:
-        """Prove one n-bit statement per transcript.  Returns (proofs,
-        value_commitments); each proof verifies against its transcript label
-        exactly like RangeProof.prove_single's output.
+                    ) -> Tuple[List[RangeProof], List]:
+        """Prove one n-bit statement (m = 1: a single value; m > 1: a list
+        of m values) per transcript.  Returns (proofs, value_commitments);
+        each proof verifies against its transcript label exactly like
+        RangeProof.prove_single / prove_multiple's output.  For m > 1 each
+        value-commitments entry is a list of m compressed points.
 
         On TPU the scalar vector math also runs on device (the tunnel's
         host bandwidth is the scarce resource); elsewhere the C++ stages
@@ -99,12 +111,30 @@ class BatchProver:
         rng = rng or _SystemRandom()
         count = len(values)
         assert count == len(blindings) == len(transcripts)
-        for v in values:
-            if v < 0 or v >> self.n:
-                raise ValueError(f"value out of range for {self.n}-bit proof")
-        if fixed_msm._on_tpu():
+        if self.m == 1:
+            values = [[int(v)] for v in values]
+            blindings = [[b] for b in blindings]
+        for vs in values:
+            if len(vs) != self.m:
+                raise ValueError(f"expected {self.m} values per statement")
+            for v in vs:
+                if v < 0 or v >> self.n:
+                    raise ValueError(f"value out of range for {self.n}-bit proof")
+        if fixed_msm._on_tpu() or self.force_device:
             return self._prove_batch_device(values, blindings, transcripts, rng)
-        return self._prove_batch_host(values, blindings, transcripts, rng)
+        if self.m > 1:
+            # no C++ aggregated stage engine: use the protocol path (native
+            # curve backend) per proof
+            proofs, vcs = [], []
+            for vs, bs, t in zip(values, blindings, transcripts):
+                p, vc = RangeProof.prove_multiple(
+                    self.bp_gens, self.pc_gens, t, vs, bs, self.n, rng=rng)
+                proofs.append(p)
+                vcs.append(vc)
+            return proofs, vcs
+        return self._prove_batch_host(
+            [vs[0] for vs in values], [bs[0] for bs in blindings],
+            transcripts, rng)
 
     # -- device path: Fiat-Shamir on host, everything else on device --------
 
@@ -151,7 +181,7 @@ class BatchProver:
         from ..ops import vec_scalar as VS
         from ..core.scalar import L as ELL
 
-        n, count = self.n, len(values)
+        n, m, N, count = self.n, self.m, self.N, len(values)
         strobe_size = len(transcripts[0].strobe.buf.raw)
         strobes = ctypes.create_string_buffer(
             b"".join(t.strobe.buf.raw for t in transcripts),
@@ -175,9 +205,9 @@ class BatchProver:
                 b"".join(v.to_bytes(32, "little") for v in vals),
                 np.uint8).reshape(k, count, 32)
 
-        # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (n*count,
-        # laid out i-major so a reshape gives (L, n, P))
-        n_draws = count * (4 + 2 * n)
+        # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (N*count,
+        # laid out i-major so a reshape gives (L, N, P))
+        n_draws = count * (4 + 2 * N)
         reduced = ctypes.create_string_buffer(n_draws * 32)
         rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
                                     rng.randbytes(n_draws * 64), reduced)
@@ -188,33 +218,48 @@ class BatchProver:
         sb = dev_scalars(red[o: 2 * o], count)
         t1b = dev_scalars(red[2 * o: 3 * o], count)
         t2b = dev_scalars(red[3 * o: 4 * o], count)
-        sl = dev_scalars(red[4 * o: 4 * o + 32 * n * count],
-                         n * count).reshape(-1, n, count)
-        sr = dev_scalars(red[4 * o + 32 * n * count:],
-                         n * count).reshape(-1, n, count)
+        sl = dev_scalars(red[4 * o: 4 * o + 32 * N * count],
+                         N * count).reshape(-1, N, count)
+        sr = dev_scalars(red[4 * o + 32 * N * count:],
+                         N * count).reshape(-1, N, count)
 
-        v_sc = dev_scalars(b"".join(int(v).to_bytes(32, "little")
-                                    for v in values), count)
-        vb = dev_scalars(b"".join(b.to_bytes() for b in blindings), count)
-        bits_np = np.array([[(int(values[p]) >> i) & 1 for p in range(count)]
-                            for i in range(n)], np.int32)
+        # party-major scalars (column j*count + p) and concatenated bits
+        # (row k = j*n + i)
+        v_sc = dev_scalars(b"".join(int(values[p][j]).to_bytes(32, "little")
+                                    for j in range(m) for p in range(count)),
+                           m * count)
+        vb = dev_scalars(b"".join(blindings[p][j].to_bytes()
+                                  for j in range(m) for p in range(count)),
+                         m * count)
+        bits_np = np.array(
+            [[(int(values[p][k // n]) >> (k % n)) & 1 for p in range(count)]
+             for k in range(N)], np.int32)
         bits = jnp.asarray(bits_np)
 
-        # stage 0: V, A, S
-        dig0 = PS.stage0(n, bits, v_sc, vb, ab, sb, sl, sr)
-        vas = yield C.compress_device(fixed_msm.msm_digits(self.tables, dig0))
+        # stage 0: V_j (m*count rows over [B, B~]), A, S (dealer sums over
+        # all N generators)
+        if m == 1:
+            dig0 = PS.stage0(n, bits, v_sc, vb, ab, sb, sl, sr)
+            vas_pts = fixed_msm.msm_digits(self.tables, dig0)
+        else:
+            vpts = fixed_msm.msm_digits(self.tables_bb, PS.v_digits(v_sc, vb))
+            aspts = fixed_msm.msm_digits(
+                self.tables, PS.stage0_agg(N, bits, ab, sb, sl, sr))
+            vas_pts = jnp.concatenate([vpts, aspts], axis=-1)
+        vas = yield C.compress_device(vas_pts)
         yz = ctypes.create_string_buffer(3 * count * 32)
         rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,
                               ctypes.c_size_t(strobe_size),
-                              ctypes.c_uint64(n), vas.tobytes(), yz)
+                              ctypes.c_uint64(n), ctypes.c_uint64(m),
+                              vas.tobytes(), yz)
         assert rc == 0
         y = dev_scalars(yz.raw[: 32 * count], count)
         z = dev_scalars(yz.raw[32 * count: 64 * count], count)
         yinv = dev_scalars(yz.raw[64 * count:], count)
 
         # stage 1: T_1, T_2
-        l0, l1, r0, r1, t0, t1, t2, zz, tdig = PS.stage1(
-            n, bits, y, z, sl, sr, t1b, t2b)
+        l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = PS.stage1(
+            n, m, bits, y, z, sl, sr, t1b, t2b)
         tb = yield C.compress_device(fixed_msm.msm_digits(self.tables_bb, tdig))
         x_buf = ctypes.create_string_buffer(count * 32)
         rc = _NATIVE.rp_ts_x(ctypes.c_uint64(count), strobes,
@@ -222,25 +267,26 @@ class BatchProver:
         assert rc == 0
         x = dev_scalars(x_buf.raw, count)
 
-        # stage 2: share scalars + IPP init
+        # stage 2: share scalars + IPP init (IPP runs over N = n*m)
         a, b, gw, hw, t_x, t_xb, e_b = PS.stage2(
-            n, x, l0, l1, r0, r1, t0, t1, t2, zz, vb, t1b, t2b, ab, sb, yinv)
+            N, x, l0, l1, r0, r1, t0, t1, t2, zz_zpow,
+            vb.reshape(-1, m, count), t1b, t2b, ab, sb, yinv)
         txs = canonical_rows((yield scalar_bytes_device(
             jnp.stack([t_x, t_xb, e_b], axis=1))), 3)
         txs_blob = np.ascontiguousarray(
             txs.transpose(1, 0, 2).reshape(count, 96)).tobytes()
         w_buf = ctypes.create_string_buffer(count * 32)
         rc = _NATIVE.rp_ts_w(ctypes.c_uint64(count), strobes,
-                             ctypes.c_size_t(strobe_size), ctypes.c_uint64(n),
+                             ctypes.c_size_t(strobe_size), ctypes.c_uint64(N),
                              txs_blob, w_buf)
         assert rc == 0
         w = dev_scalars(w_buf.raw, count)
 
         # IPP rounds (compact per-round base subsets)
         L_rows, R_rows = [], []
-        nk = n
+        nk = N
         while nk > 1:
-            dig_l, dig_r = PS.round_digits_compact(n, nk, a, b, gw, hw, w)
+            dig_l, dig_r = PS.round_digits_compact(N, nk, a, b, gw, hw, w)
             tab_l, tab_r = self.round_tables[nk]
             pts = jnp.concatenate([fixed_msm.msm_digits(tab_l, dig_l),
                                    fixed_msm.msm_digits(tab_r, dig_r)],
@@ -256,7 +302,7 @@ class BatchProver:
             assert rc == 0
             u = dev_scalars(u_buf.raw, count)
             uinv = dev_scalars(ui_buf.raw, count)
-            a, b, gw, hw = PS.round_fold(n, nk, a, b, gw, hw, u, uinv)
+            a, b, gw, hw = PS.round_fold(N, nk, a, b, gw, hw, u, uinv)
             nk //= 2
 
         fin = canonical_rows((yield scalar_bytes_device(
@@ -272,13 +318,17 @@ class BatchProver:
                 a=Scalar.from_canonical_bytes(fin[3, p].tobytes()),
                 b=Scalar.from_canonical_bytes(fin[4, p].tobytes()))
             proofs.append(RangeProof(
-                A=bytes(vas[count + p]), S=bytes(vas[2 * count + p]),
+                A=bytes(vas[m * count + p]),
+                S=bytes(vas[(m + 1) * count + p]),
                 T_1=bytes(tb[p]), T_2=bytes(tb[count + p]),
                 t_x=Scalar.from_canonical_bytes(fin[0, p].tobytes()),
                 t_x_blinding=Scalar.from_canonical_bytes(fin[1, p].tobytes()),
                 e_blinding=Scalar.from_canonical_bytes(fin[2, p].tobytes()),
                 ipp_proof=ipp))
-            vcs.append(bytes(vas[p]))
+            if m == 1:
+                vcs.append(bytes(vas[p]))
+            else:
+                vcs.append([bytes(vas[j * count + p]) for j in range(m)])
         return proofs, vcs
 
     # -- host-oracle path (CPU backends / tests) -----------------------------

@@ -417,8 +417,11 @@ int rp_reduce_wide(u64 count, const uint8_t* wide, uint8_t* out32) {
   return 0;
 }
 
-// domain sep + V, A, S -> y, z (and 1/y for the device H-factors)
-int rp_ts_yz(u64 count, uint8_t* strobes, u64 stride, u64 n,
+// domain sep + V_0..V_{m-1}, A, S -> y, z (and 1/y for the device
+// H-factors).  vas layout: m*count V rows (party-major: row j*count + p),
+// then count A rows, then count S rows (A/S are the dealer's party sums,
+// reference dealer.rs:112-120).
+int rp_ts_yz(u64 count, uint8_t* strobes, u64 stride, u64 n, u64 m,
              const uint8_t* vas, uint8_t* out) {
   Sc* ys = new Sc[count];
   Sc* yinvs = new Sc[count];
@@ -426,10 +429,11 @@ int rp_ts_yz(u64 count, uint8_t* strobes, u64 stride, u64 n,
     Strobe* ts = (Strobe*)(strobes + p * stride);
     t_append(ts, "dom-sep", 7, (const uint8_t*)"rangeproof v1", 13);
     t_append_u64(ts, "n", 1, n);
-    t_append_u64(ts, "m", 1, 1);
-    t_append(ts, "V", 1, vas + 32 * p, 32);
-    t_append(ts, "A", 1, vas + 32 * (count + p), 32);
-    t_append(ts, "S", 1, vas + 32 * (2 * count + p), 32);
+    t_append_u64(ts, "m", 1, m);
+    for (u64 j = 0; j < m; ++j)
+      t_append(ts, "V", 1, vas + 32 * (j * count + p), 32);
+    t_append(ts, "A", 1, vas + 32 * (m * count + p), 32);
+    t_append(ts, "S", 1, vas + 32 * ((m + 1) * count + p), 32);
     Sc z;
     t_challenge(ts, "y", 1, &ys[p]);
     t_challenge(ts, "z", 1, &z);

@@ -47,6 +47,39 @@ def test_batch_prove_matches_host_prover_semantics(rng):
     assert len(proofs[0].to_bytes()) == len(host_p.to_bytes())
 
 
+@pytest.mark.slow
+def test_batch_prove_aggregated_m2_device_path(rng):
+    """Aggregated (m = 2) batched proving through the device stages
+    (interpret-mode Pallas on CPU); outputs verify via verify_multiple and
+    fused batch verification."""
+    from bulletproofs_tpu.ops import fixed_msm
+    from bulletproofs_tpu.parallel import BatchVerifier
+
+    n, m = 8, 2
+    bp = BulletproofGens(n, m)
+    prover = BatchProver(bp, PC, n, m=m)
+    prover.force_device = True
+    old = fixed_msm._INTERPRET
+    fixed_msm._INTERPRET = True
+    try:
+        values = [[3, 200], [7, (1 << n) - 1]]
+        blinds = [[Scalar.random(rng) for _ in range(m)] for _ in range(2)]
+        labels = [b"aggbp %d" % i for i in range(2)]
+        proofs, vcs = prover.prove_batch(
+            values, blinds, [Transcript(l) for l in labels], rng=rng)
+        for i in range(2):
+            assert len(vcs[i]) == m
+            proofs[i].verify_multiple(bp, PC, Transcript(labels[i]),
+                                      vcs[i], n, rng=rng)
+        bv = BatchVerifier(bp, PC, n=n, m=m, prefer_host=True)
+        bv.verify_batch(proofs, vcs, [Transcript(l) for l in labels], rng=rng)
+        with pytest.raises(ProofError):
+            proofs[0].verify_multiple(bp, PC, Transcript(b"wrong"), vcs[0],
+                                      n, rng=rng)
+    finally:
+        fixed_msm._INTERPRET = old
+
+
 def test_batch_prove_rejects_out_of_range(rng):
     prover = BatchProver(BP, PC, 8)
     with pytest.raises(ValueError):
