@@ -13,11 +13,11 @@ from .constraint_system import (ConstraintSystem, RandomizableConstraintSystem,
                                 RandomizedConstraintSystem)
 from .proof import R1CSProof
 from .prover import Prover, RandomizingProver
-from .verifier import Verifier, RandomizingVerifier
+from .verifier import Verifier, RandomizingVerifier, batch_verify
 
 __all__ = [
     "Variable", "LinearCombination", "ConstraintSystem",
     "RandomizableConstraintSystem", "RandomizedConstraintSystem",
     "R1CSProof", "Prover", "RandomizingProver", "Verifier",
-    "RandomizingVerifier",
+    "RandomizingVerifier", "batch_verify",
 ]

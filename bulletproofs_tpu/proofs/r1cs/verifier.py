@@ -131,6 +131,31 @@ class Verifier(RandomizableConstraintSystem):
         rng = rng or _SysRandom()
         if msm is None:
             from ...ops.vec_msm import msm_host_auto as msm
+        (dyn_scalars, dyn_compressed, b_scalar, bb_scalar, g_scalars,
+         h_scalars, padded_n) = self.verification_scalars(proof, bp_gens, rng)
+        gens = bp_gens.share(0)
+        dyn = [RistrettoPoint.decompress(p) for p in dyn_compressed]
+        if any(p is None for p in dyn):
+            raise R1CSError(R1CSError.VERIFICATION)
+        k = len(dyn) - 2 * len(proof.ipp_proof.L_vec)
+        scalars = (dyn_scalars[:k] + [b_scalar, bb_scalar]
+                   + g_scalars + h_scalars + dyn_scalars[k:])
+        points = (dyn[:k] + [pc_gens.B, pc_gens.B_blinding]
+                  + gens.G(padded_n) + gens.H(padded_n) + dyn[k:])
+        if not msm(scalars, points).is_identity():
+            raise R1CSError(R1CSError.VERIFICATION)
+
+    def verification_scalars(self, proof: R1CSProof,
+                             bp_gens: BulletproofGens, rng=None):
+        """Replay the transcript and emit this proof's share of the
+        mega-MSM: (dyn_scalars, dyn_compressed_points, B_scalar,
+        B_blinding_scalar, g_scalars, h_scalars, padded_n).  dyn pairs
+        scalars[i] with compressed points[i] ([A_I1, A_O1, S1, A_I2, A_O2,
+        S2, V.., T.., L.., R..]); the static B/B~/G/H scalars let
+        `batch_verify` accumulate many proofs onto shared generators
+        (the same random-linear-combination trick the reference applies
+        to the two per-proof equations, verifier.rs:447-449)."""
+        rng = rng or _SysRandom()
         transcript = self._transcript
 
         transcript.append_u64(b"m", len(self.V))
@@ -217,31 +242,68 @@ class Verifier(RandomizableConstraintSystem):
         T_scalars = [r * x, rxx * x, rxx * xx, rxx * xxx, rxx * xx * xx]
         T_points = [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
 
-        scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
-                   + [wVi * rxx for wVi in wV]
-                   + T_scalars
-                   + [w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)]
-                   + [-proof.e_blinding - r * proof.t_x_blinding]
-                   + g_scalars + h_scalars
-                   + u_sq + u_inv_sq)
+        dyn_scalars = ([x, xx, xxx, u * x, u * xx, u * xxx]
+                       + [wVi * rxx for wVi in wV]
+                       + T_scalars
+                       + u_sq + u_inv_sq)
+        b_scalar = (w * (proof.t_x - a * b)
+                    + r * (xx * (wc + delta) - proof.t_x))
+        bb_scalar = -proof.e_blinding - r * proof.t_x_blinding
+        dyn_compressed = ([proof.A_I1, proof.A_O1, proof.S1,
+                           proof.A_I2, proof.A_O2, proof.S2]
+                          + self.V + T_points
+                          + list(proof.ipp_proof.L_vec)
+                          + list(proof.ipp_proof.R_vec))
+        return (dyn_scalars, dyn_compressed, b_scalar, bb_scalar,
+                g_scalars, h_scalars, padded_n)
 
-        compressed = ([proof.A_I1, proof.A_O1, proof.S1,
-                       proof.A_I2, proof.A_O2, proof.S2]
-                      + self.V + T_points)
-        dyn = [RistrettoPoint.decompress(p) for p in compressed]
-        if any(p is None for p in dyn):
-            raise R1CSError(R1CSError.VERIFICATION)
-        Ls = [RistrettoPoint.decompress(p) for p in proof.ipp_proof.L_vec]
-        Rs = [RistrettoPoint.decompress(p) for p in proof.ipp_proof.R_vec]
-        if any(p is None for p in Ls + Rs):
-            raise R1CSError(R1CSError.VERIFICATION)
 
-        points = (dyn + [pc_gens.B, pc_gens.B_blinding]
-                  + gens.G(padded_n) + gens.H(padded_n) + Ls + Rs)
+def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
+                 rng=None, msm=None) -> None:
+    """Verify many R1CS proofs in ONE mega-MSM.
 
-        mega_check = msm(scalars, points)
-        if not mega_check.is_identity():
-            raise R1CSError(R1CSError.VERIFICATION)
+    `items` is a sequence of (verifier, proof) pairs -- each verifier has
+    its gadget constraints built against its own transcript, exactly as for
+    a single `verify` call.  Per-proof checks combine with random weights
+    w_p (an extension of the reference's in-proof equation batching,
+    verifier.rs:447-449); the shared static generators B, B~, G, H
+    accumulate one scalar each across all proofs, so batch cost grows only
+    by each proof's dynamic points.  Raises R1CSError on any failure;
+    bisect sub-batches to locate a failing proof."""
+    rng = rng or _SysRandom()
+    if msm is None:
+        from ...ops.vec_msm import msm_host_auto as msm
+    zero = Scalar.zero()
+    acc_b = acc_bb = zero
+    acc_g: List[Scalar] = []
+    acc_h: List[Scalar] = []
+    all_dyn_s: List[Scalar] = []
+    all_dyn_p: List[bytes] = []
+    for verifier, proof in items:
+        (ds, dp, bs, bbs, gs, hs, pn) = verifier.verification_scalars(
+            proof, bp_gens, rng)
+        wgt = Scalar.random(rng)
+        all_dyn_s.extend(wgt * s for s in ds)
+        all_dyn_p.extend(dp)
+        acc_b = acc_b + wgt * bs
+        acc_bb = acc_bb + wgt * bbs
+        if len(acc_g) < pn:
+            acc_g.extend([zero] * (pn - len(acc_g)))
+            acc_h.extend([zero] * (pn - len(acc_h)))
+        for i, s in enumerate(gs):
+            acc_g[i] = acc_g[i] + wgt * s
+        for i, s in enumerate(hs):
+            acc_h[i] = acc_h[i] + wgt * s
+
+    dyn = [RistrettoPoint.decompress(p) for p in all_dyn_p]
+    if any(p is None for p in dyn):
+        raise R1CSError(R1CSError.VERIFICATION)
+    gens = bp_gens.share(0)
+    scalars = all_dyn_s + [acc_b, acc_bb] + acc_g + acc_h
+    points = (dyn + [pc_gens.B, pc_gens.B_blinding]
+              + gens.G(len(acc_g)) + gens.H(len(acc_h)))
+    if not msm(scalars, points).is_identity():
+        raise R1CSError(R1CSError.VERIFICATION)
 
 
 class RandomizingVerifier(RandomizedConstraintSystem):

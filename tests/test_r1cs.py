@@ -95,6 +95,42 @@ def test_shuffle_gadget_rejects_non_permutation(rng):
         shuffle_proof_roundtrip(4, rng, tamper=True)
 
 
+def _shuffle_instance(k, seed, rng, tamper=False):
+    """Prove one k-shuffle; return (fresh verifier with constraints built,
+    proof)."""
+    rr = random.Random(seed)
+    inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
+    outputs = list(inputs)
+    rr.shuffle(outputs)
+    if tamper:
+        outputs[0] = outputs[0] + Scalar.one()
+    prover = Prover(PC, Transcript(b"BatchShuffleTest %d" % seed))
+    in_pairs = [prover.commit(v, Scalar.random(rng)) for v in inputs]
+    out_pairs = [prover.commit(v, Scalar.random(rng)) for v in outputs]
+    shuffle_gadget(prover, [v for _, v in in_pairs], [v for _, v in out_pairs])
+    proof = prover.prove(BP, rng=rng)
+
+    verifier = Verifier(Transcript(b"BatchShuffleTest %d" % seed))
+    in_vars = [verifier.commit(c) for c, _ in in_pairs]
+    out_vars = [verifier.commit(c) for c, _ in out_pairs]
+    shuffle_gadget(verifier, in_vars, out_vars)
+    return verifier, proof
+
+
+def test_batch_verify_shuffles(rng):
+    """Many R1CS proofs (different sizes) fused into one mega-MSM."""
+    from bulletproofs_tpu.proofs.r1cs import batch_verify
+
+    items = [_shuffle_instance(k, 100 + k, rng) for k in (2, 3, 5)]
+    batch_verify(items, PC, BP, rng=rng)
+
+    # one bad proof poisons the batch
+    items = [_shuffle_instance(k, 200 + k, rng) for k in (2, 3)]
+    items.append(_shuffle_instance(4, 204, rng, tamper=True))
+    with pytest.raises(R1CSError):
+        batch_verify(items, PC, BP, rng=rng)
+
+
 # ---------------------------------------------------------------------------
 # example gadget (reference tests/r1cs.rs:226-364):
 # proves (a1 + a2) * (b1 + b2) == c1 + c2
