@@ -149,6 +149,37 @@ def bench_r1cs():
         dt = timeit(verify, reps=1)
         record("k-shuffle proof verification", f"k={k}", dt)
 
+    # batched R1CS verification: many k=64 shuffles in one mega-MSM
+    from bulletproofs_tpu.proofs.r1cs import batch_verify
+    k = 64
+    bp = BulletproofGens(2 * k, 1)
+    rr = random.Random(7)
+    inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
+    outputs = list(inputs)
+    rr.shuffle(outputs)
+    p = Prover(pc, Transcript(b"ShuffleBatchBench"))
+    in_pairs = [p.commit(v, Scalar.random(rng)) for v in inputs]
+    out_pairs = [p.commit(v, Scalar.random(rng)) for v in outputs]
+    shuffle_gadget(p, [v for _, v in in_pairs], [v for _, v in out_pairs])
+    proof = p.prove(bp, rng=rng)
+    ins, outs = [c for c, _ in in_pairs], [c for c, _ in out_pairs]
+
+    def fresh_verifier():
+        v = Verifier(Transcript(b"ShuffleBatchBench"))
+        iv = [v.commit(c) for c in ins]
+        ov = [v.commit(c) for c in outs]
+        shuffle_gadget(v, iv, ov)
+        return v
+
+    for batch in (16, 64):
+        def run():
+            batch_verify([(fresh_verifier(), proof) for _ in range(batch)],
+                         pc, bp, rng=rng)
+        dt = timeit(run, reps=1)
+        record("r1cs batch verification", f"batch={batch} k={k}", dt)
+        record("r1cs batch verification rate", f"batch={batch}",
+               1.0 / (batch / dt))
+
 
 def bench_batch():
     """Fused batched verification (the TPU-native headline config)."""
@@ -191,6 +222,22 @@ def bench_batch_prove():
         dt = timeit(run, reps=1)
         record("batch prove", f"batch={batch} n=64", dt)
         record("batch prove rate", f"batch={batch}", 1.0 / (batch / dt))
+
+    # aggregated statements through the same pipeline (m values per proof)
+    m, batch = 8, 256
+    bp_m = BulletproofGens(64, m)
+    prover_m = BatchProver(bp_m, pc, 64, m=m)
+    vals = [[secrets.randbelow(2 ** 64) for _ in range(m)] for _ in range(batch)]
+    blinds = [[Scalar.random(rng) for _ in range(m)] for _ in range(batch)]
+
+    def run_agg():
+        prover_m.prove_batch(vals, blinds,
+                             [Transcript(b"abp %d" % i) for i in range(batch)],
+                             rng=rng)
+    dt = timeit(run_agg, reps=1)
+    record("aggregated batch prove", f"batch={batch} n=64 m={m}", dt)
+    record("aggregated batch prove rate (proofs)", f"batch={batch} m={m}",
+           1.0 / (batch / dt))
 
 
 def bench_msm():
