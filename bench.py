@@ -122,7 +122,7 @@ def main():
         import jax.numpy as jnp
         from bulletproofs_tpu.ops import vec_curve as C
         from bulletproofs_tpu.ops import vec_msm
-        N = 1 << (12 if cpu_fallback else 16)
+        N = 1 << 16
         raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
         pts = C.from_uniform_bytes(raw)
         sbytes = vec_msm.scalars_to_bytes(

@@ -308,7 +308,10 @@ def msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray,
     qblk multiple internally; caller slices)."""
     qn, nb, _ = coef_bytes.shape
     assert nb == tables.num_bases
-    if tables.niels is None:
+    # Route by PLATFORM, not by table presence: ensure_niels may have built
+    # device tables on CPU for an interpret-mode run, but msm_rows is the
+    # host-oracle path and must stay native off-TPU.
+    if not _on_tpu():
         return _host_msm_rows(tables, coef_bytes)
     s = nb * NUM_WINDOWS
     pad_s = (-s) % kchunk

@@ -61,6 +61,22 @@ def _pow2_const(n: int) -> np.ndarray:
     return np.stack([S.const(1 << i) for i in range(n)], axis=1)
 
 
+def _bit_commit_coefs(n: int, bits: jnp.ndarray, ab, sb, sl, sr):
+    """Shared A/S coefficient rows over [B, B~, G..(n), H..(n)]:
+    A = [0, ab, aL, aR], S = [0, sb, sL, sR] with aL[i] = bit i,
+    aR[i] = aL[i] - 1 (reference party.rs:102-124)."""
+    p = bits.shape[-1]
+    zero1 = _zeros(1, p)
+    minus_one = jnp.asarray(S.const(ELL - 1))[:, None, :]
+    bit_mask = (bits != 0)[None, :, :]
+    one_limb = jnp.asarray(S.ONE)[:, None, :]
+    aL = jnp.where(bit_mask, jnp.broadcast_to(one_limb, (L, n, p)), 0)
+    aR = jnp.where(bit_mask, 0, jnp.broadcast_to(minus_one, (L, n, p)))
+    coef_a = jnp.concatenate([zero1, _col(ab), aL, aR], axis=1)
+    coef_s = jnp.concatenate([zero1, _col(sb), sl, sr], axis=1)
+    return coef_a, coef_s
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def stage0(n: int, bits: jnp.ndarray, v_sc: jnp.ndarray, vb: jnp.ndarray,
            ab: jnp.ndarray, sb: jnp.ndarray, sl: jnp.ndarray,
@@ -69,18 +85,9 @@ def stage0(n: int, bits: jnp.ndarray, v_sc: jnp.ndarray, vb: jnp.ndarray,
     -> digit stream ((2n+2)*64, 3P) for rows [V.., A.., S..] over bases
     [B, B~, G.., H..]."""
     p = bits.shape[-1]
-    zero1 = _zeros(1, p)
     zeron = _zeros(n, p)
-    minus_one = jnp.asarray(S.const(ELL - 1))[:, None, :]
-
-    bit_mask = (bits != 0)[None, :, :]
-    one_limb = jnp.asarray(S.ONE)[:, None, :]
-    aL = jnp.where(bit_mask, jnp.broadcast_to(one_limb, (L, n, p)), 0)
-    aR = jnp.where(bit_mask, 0, jnp.broadcast_to(minus_one, (L, n, p)))
-
+    coef_a, coef_s = _bit_commit_coefs(n, bits, ab, sb, sl, sr)
     coef_v = jnp.concatenate([_col(v_sc), _col(vb), zeron, zeron], axis=1)
-    coef_a = jnp.concatenate([zero1, _col(ab), aL, aR], axis=1)
-    coef_s = jnp.concatenate([zero1, _col(sb), sl, sr], axis=1)
     return _coef_digits(jnp.concatenate([coef_v, coef_a, coef_s], axis=2))
 
 
@@ -99,15 +106,7 @@ def stage0_agg(N: int, bits: jnp.ndarray, ab: jnp.ndarray, sb: jnp.ndarray,
     [B, B~, G..(N), H..(N)] (the trusted local dealer's sums A = sum A_j,
     S = sum S_j, reference dealer.rs:112-120 -- one blinding draw stands in
     for the sum of the m parties').  bits (N, P) -> ((2N+2)*64, 2P)."""
-    p = bits.shape[-1]
-    zero1 = _zeros(1, p)
-    minus_one = jnp.asarray(S.const(ELL - 1))[:, None, :]
-    bit_mask = (bits != 0)[None, :, :]
-    one_limb = jnp.asarray(S.ONE)[:, None, :]
-    aL = jnp.where(bit_mask, jnp.broadcast_to(one_limb, (L, N, p)), 0)
-    aR = jnp.where(bit_mask, 0, jnp.broadcast_to(minus_one, (L, N, p)))
-    coef_a = jnp.concatenate([zero1, _col(ab), aL, aR], axis=1)
-    coef_s = jnp.concatenate([zero1, _col(sb), sl, sr], axis=1)
+    coef_a, coef_s = _bit_commit_coefs(N, bits, ab, sb, sl, sr)
     return _coef_digits(jnp.concatenate([coef_a, coef_s], axis=2))
 
 

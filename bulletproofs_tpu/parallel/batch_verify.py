@@ -107,6 +107,9 @@ class BatchVerifier:
         """
         rng = rng or _SystemRandom()
         assert len(proofs) == len(value_commitments) == len(transcripts)
+        if not proofs:
+            raise ValueError("verify_batch requires at least one proof "
+                             "(an empty batch would vacuously accept)")
         # Host path: replay, decompression, and the mega-MSM all in C++
         # (IFMA when the CPU supports it).  Without a TPU attached the XLA
         # lane kernels on CPU are far slower than the native backend, so

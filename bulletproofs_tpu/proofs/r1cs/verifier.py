@@ -154,7 +154,16 @@ class Verifier(RandomizableConstraintSystem):
         S2, V.., T.., L.., R..]); the static B/B~/G/H scalars let
         `batch_verify` accumulate many proofs onto shared generators
         (the same random-linear-combination trick the reference applies
-        to the two per-proof equations, verifier.rs:447-449)."""
+        to the two per-proof equations, verifier.rs:447-449).
+
+        One-shot: replaying consumes the verifier's transcript and deferred
+        constraints, so a second call raises (rebuild the verifier -- gadget
+        construction is cheap -- to retry or bisect)."""
+        if getattr(self, "_consumed", False):
+            raise RuntimeError(
+                "Verifier already consumed (transcript replayed); build a "
+                "fresh Verifier to verify again")
+        self._consumed = True
         rng = rng or _SysRandom()
         transcript = self._transcript
 
@@ -176,7 +185,6 @@ class Verifier(RandomizableConstraintSystem):
         pad = padded_n - n
         if bp_gens.gens_capacity < padded_n:
             raise R1CSError(R1CSError.INVALID_GENERATORS_LENGTH)
-        gens = bp_gens.share(0)
 
         transcript.append_point(b"A_I2", proof.A_I2)
         transcript.append_point(b"A_O2", proof.A_O2)
@@ -268,9 +276,13 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
     w_p (an extension of the reference's in-proof equation batching,
     verifier.rs:447-449); the shared static generators B, B~, G, H
     accumulate one scalar each across all proofs, so batch cost grows only
-    by each proof's dynamic points.  Raises R1CSError on any failure;
-    bisect sub-batches to locate a failing proof."""
+    by each proof's dynamic points.  Raises R1CSError on any failure; to
+    locate a failing proof, bisect with FRESH verifiers per attempt
+    (verifiers are one-shot -- replaying consumes their transcript)."""
     rng = rng or _SysRandom()
+    if not items:
+        raise ValueError("batch_verify requires at least one proof "
+                         "(an empty batch would vacuously accept)")
     if msm is None:
         from ...ops.vec_msm import msm_host_auto as msm
     zero = Scalar.zero()

@@ -13,7 +13,6 @@ import os
 if not os.environ.get("BPTPU_TEST_TPU"):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # No persistent XLA cache in tests: CPU AOT entries compiled on a different
 # machine (the TPU tunnel host) can be feature-mismatched with this host.
 os.environ["BPTPU_COMPILE_CACHE"] = "0"
