@@ -351,8 +351,8 @@ def msm_digits(tables: FixedBaseTables, digits: jnp.ndarray,
     return out[..., :qn]
 
 
-def _host_msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray):
-    """CPU-test fallback: host Pippenger per output row."""
+def _host_msm_points(tables: FixedBaseTables, coef_bytes: np.ndarray):
+    """Host Pippenger per output row -> list of RistrettoPoint."""
     from ..core.ristretto import multiscalar_mul
     from ..core.scalar import Scalar
 
@@ -361,4 +361,23 @@ def _host_msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray):
         scalars = [Scalar(int.from_bytes(coef_bytes[q, j].tobytes(), "little"))
                    for j in range(tables.num_bases)]
         rows.append(multiscalar_mul(scalars, tables.host_points))
-    return jnp.asarray(C.points_to_lanes(rows))
+    return rows
+
+
+def _host_msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray):
+    """CPU-test fallback: host Pippenger per output row."""
+    return jnp.asarray(C.points_to_lanes(_host_msm_points(tables, coef_bytes)))
+
+
+def msm_rows_compressed(tables: FixedBaseTables, coef_bytes: np.ndarray,
+                        **kw) -> np.ndarray:
+    """(Q, NB, 32) coefficient rows -> (Q, 32) compressed point bytes.
+
+    Off-TPU this compresses with the native curve backend directly --
+    routing through compress_to_bytes would JIT the device compression
+    kernel on the CPU backend (~45 s cold) for no benefit."""
+    if not _on_tpu():
+        rows = _host_msm_points(tables, coef_bytes)
+        return np.frombuffer(b"".join(p.compress() for p in rows),
+                             np.uint8).reshape(len(rows), 32)
+    return C.compress_to_bytes(msm_rows(tables, coef_bytes, **kw))

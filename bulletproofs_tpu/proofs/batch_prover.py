@@ -352,7 +352,7 @@ class BatchProver:
             ctypes.c_uint64(count), ctypes.c_uint64(n), vals, vblind, rand0,
             state, coef0.ctypes.data_as(ctypes.c_char_p))
         assert rc == 0
-        vas = C.compress_to_bytes(fixed_msm.msm_rows(self.tables, coef0))
+        vas = fixed_msm.msm_rows_compressed(self.tables, coef0)
 
         # stage 1: y, z; l/r polys; T1/T2 coefficients
         rand1 = rng.randbytes(count * 128)
@@ -362,7 +362,7 @@ class BatchProver:
             ctypes.c_size_t(strobe_size), vas.tobytes(), rand1, state,
             coef1.ctypes.data_as(ctypes.c_char_p))
         assert rc == 0
-        tb = C.compress_to_bytes(fixed_msm.msm_rows(self.tables_bb, coef1))
+        tb = fixed_msm.msm_rows_compressed(self.tables_bb, coef1)
 
         # stage 2: x; share scalars; w; IPP init
         rc = _NATIVE.rp_prove_stage2(
@@ -380,7 +380,7 @@ class BatchProver:
                 ctypes.c_uint64(nk), state,
                 coefr.ctypes.data_as(ctypes.c_char_p))
             assert rc == 0
-            lr = C.compress_to_bytes(fixed_msm.msm_rows(self.tables, coefr))
+            lr = fixed_msm.msm_rows_compressed(self.tables, coefr)
             L_rows.append(lr[:count])
             R_rows.append(lr[count:])
             rc = _NATIVE.rp_prove_round_absorb(
