@@ -206,6 +206,80 @@ class LinearProof:
         if not (expect_S == S):
             raise ProofError.verification()
 
+    @staticmethod
+    def batch_verify(items, G: List[RistrettoPoint], F: RistrettoPoint,
+                     B: RistrettoPoint, rng=None, msm=None) -> None:
+        """Verify many linear proofs sharing generators (G, F, B) in ONE
+        MSM == identity.
+
+        `items` is a sequence of (proof, transcript, C_bytes, b_vec) --
+        b_vec (and therefore n = len(b_vec) <= len(G), proofs use the
+        G[:n] prefix) may differ per proof.  Each proof's check
+
+          S - r*B - (a*b_0)*F + x**C + sum x**x_i*L_i + x**x_inv_i*R_i
+            - sum a*s_i*G_i  ==  0        (reference linear_proof.rs:237-247
+                                           rearranged to one equation)
+
+        gets a random weight; the shared G/F/B scalars accumulate across
+        proofs.  Raises ProofError on any failure; bisect sub-batches with
+        fresh transcripts to isolate a failing proof."""
+        import secrets as _secrets
+        rng = rng or type("R", (), {"randbytes": staticmethod(
+            _secrets.token_bytes)})()
+        if not items:
+            raise ProofError.verification()
+        if msm is None:
+            from ..ops.vec_msm import msm_host_auto as msm
+        zero = Scalar.zero()
+        acc_b = acc_f = zero
+        acc_g = [zero] * len(G)
+        dyn_scalars: List[Scalar] = []
+        dyn_points: List[RistrettoPoint] = []
+        for proof, transcript, C, b_vec in items:
+            n = len(b_vec)
+            if len(G) < n:
+                raise ProofError.invalid_generators_length()
+            Gp = G[:n]
+
+            transcript.innerproduct_domain_sep(n)
+            transcript.append_point(b"C", C)
+            for b_i in b_vec:
+                transcript.append_scalar(b"b_i", b_i)
+            for G_i in Gp:
+                transcript.append_point(b"G_i", G_i.compress())
+            transcript.append_point(b"F", F.compress())
+            transcript.append_point(b"B", B.compress())
+            x_vec, x_inv_vec, b_0 = proof.verification_scalars(
+                n, transcript, b_vec)
+            transcript.append_point(b"S", proof.S)
+            x_star = transcript.challenge_scalar(b"x_star")
+
+            S = RistrettoPoint.decompress(proof.S)
+            C_pt = RistrettoPoint.decompress(C)
+            Ls = [RistrettoPoint.decompress(p) for p in proof.L_vec]
+            Rs = [RistrettoPoint.decompress(p) for p in proof.R_vec]
+            if S is None or C_pt is None or any(
+                    p is None for p in Ls + Rs):
+                raise ProofError.verification()
+
+            w = Scalar.random(rng)
+            acc_b = acc_b - w * proof.r
+            acc_f = acc_f - w * (proof.a * b_0)
+            s = proof.subset_product(n, x_vec)
+            wa = w * proof.a
+            for i in range(n):
+                acc_g[i] = acc_g[i] - wa * s[i]
+            wx = w * x_star
+            dyn_scalars.extend([w, wx]
+                               + [wx * x for x in x_vec]
+                               + [wx * xi for xi in x_inv_vec])
+            dyn_points.extend([S, C_pt] + Ls + Rs)
+
+        result = msm(dyn_scalars + [acc_b, acc_f] + acc_g,
+                     dyn_points + [B, F] + list(G))
+        if not result.is_identity():
+            raise ProofError.verification()
+
     # -- serialization (reference linear_proof.rs:316-407) ------------------
     def serialized_size(self) -> int:
         return (len(self.L_vec) * 2 + 3) * 32

@@ -52,6 +52,43 @@ def test_linear_rejects_wrong_b(rng):
         proof.verify(t, C, G, F, B, bad_b)
 
 
+def test_linear_batch_verify(rng):
+    """Many linear proofs (different sizes) fused into one identity MSM."""
+    bp_gens = BulletproofGens(32, 1)
+    G = bp_gens.share(0).G(32)
+    pc = PedersenGens()
+    F, B = pc.B, pc.B_blinding
+    from bulletproofs_tpu.utils.util import inner_product
+
+    def make(n, label):
+        a = [Scalar.random(rng) for _ in range(n)]
+        b = [Scalar.random(rng) for _ in range(n)]
+        r = Scalar.random(rng)
+        C = multiscalar_mul(a + [r, inner_product(a, b)],
+                            G[:n] + [B, F]).compress()
+        proof = LinearProof.create(Transcript(label), rng, C, r,
+                                   list(a), list(b), list(G[:n]), F, B)
+        return proof, C, b, label
+
+    made = [make(n, b"lbv %d" % n) for n in (4, 16, 32)]
+    LinearProof.batch_verify(
+        [(p, Transcript(l), C, list(b)) for p, C, b, l in made],
+        G, F, B, rng=rng)
+
+    # tampered scalar poisons the batch
+    p0, C0, b0, l0 = made[0]
+    bad = LinearProof.from_bytes(p0.to_bytes())
+    bad.a = bad.a + Scalar.one()
+    items = [(bad, Transcript(l0), C0, list(b0))] + [
+        (p, Transcript(l), C, list(b)) for p, C, b, l in made[1:]]
+    with pytest.raises(ProofError):
+        LinearProof.batch_verify(items, G, F, B, rng=rng)
+
+    # empty batch refuses
+    with pytest.raises(ProofError):
+        LinearProof.batch_verify([], G, F, B, rng=rng)
+
+
 def test_linear_rejects_wrong_commitment(rng):
     proof, C, G, F, B, b = _linear_helper(16, rng)
     bad_C = multiscalar_mul([Scalar(7)], [F]).compress()
