@@ -40,6 +40,13 @@ def _load():
         lib.rist_msm.argtypes = [sz, ctypes.c_char_p, ctypes.c_char_p,
                                  ctypes.c_char_p]
         lib.rist_msm.restype = None
+        lib.rist_msm_ct.argtypes = [sz, ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_char_p]
+        lib.rist_msm_ct.restype = None
+        lib.rist_bit_commit.argtypes = [sz, ctypes.c_uint64, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_char_p]
+        lib.rist_bit_commit.restype = None
         lib.rist_scalar_mul.argtypes = [ctypes.c_char_p] * 3
         lib.rist_scalar_mul.restype = None
         lib.rist_add.argtypes = [ctypes.c_char_p] * 3

@@ -254,6 +254,50 @@ def msm_packed(scalars, packed: bytes) -> RistrettoPoint:
         scalars, [_from_ext(packed[128 * i:128 * (i + 1)]) for i in range(n)])
 
 
+def multiscalar_mul_ct(scalars, points) -> RistrettoPoint:
+    """Constant-time Straus MSM for witness-dependent commitments.
+
+    Mirrors the reference's `MultiscalarMul` (consttime) vs
+    `VartimeMultiscalarMul` split: the prover's bit/blinding commitments
+    use this path (reference src/range_proof/party.rs:119-124,
+    src/generators.rs:39-41, src/r1cs/prover.rs:433-459), while verifier
+    MSMs over public data stay on the vartime Pippenger.  The native
+    backend (rist_msm_ct) performs signed radix-16 Straus with branchless
+    table scans; without it we fall back to the pure-Python path, which —
+    like any Python big-int code — makes no timing guarantees.
+    """
+    if _NATIVE is None or len(points) == 0:
+        return multiscalar_mul(scalars, points)
+    scalars = [s.v if isinstance(s, Scalar) else int(s) for s in scalars]
+    points = list(points)
+    assert len(scalars) == len(points)
+    spack = b"".join((s % L).to_bytes(32, "little") for s in scalars)
+    ppack = b"".join(_to_ext(p) for p in points)
+    out = _ct.create_string_buffer(128)
+    _NATIVE.rist_msm_ct(len(points), spack, ppack, out)
+    return _from_ext(out.raw)
+
+
+def bit_commit(n: int, v: int, Gs, Hs, blind, B_blinding) -> RistrettoPoint:
+    """A_j = blind*B̃ + Σ_i (bit_i(v) ? G_i : −H_i), branchless in the value
+    bits (reference src/range_proof/party.rs:102-112, which uses
+    subtle::ConditionallySelectable for the same reason)."""
+    if _NATIVE is not None:
+        gpack = b"".join(_to_ext(p) for p in Gs[:n])
+        hpack = b"".join(_to_ext(p) for p in Hs[:n])
+        sblind = ((blind.v if isinstance(blind, Scalar) else int(blind)) % L
+                  ).to_bytes(32, "little")
+        out = _ct.create_string_buffer(128)
+        _NATIVE.rist_bit_commit(n, v & ((1 << 64) - 1), gpack, hpack,
+                                sblind, _to_ext(B_blinding), out)
+        return _from_ext(out.raw)
+    # pure-Python oracle: same sum as one MSM with scalars v_i and v_i - 1
+    bits = [(v >> i) & 1 for i in range(n)]
+    return multiscalar_mul(
+        [blind] + bits + [b - 1 for b in bits],
+        [B_blinding] + list(Gs[:n]) + list(Hs[:n]))
+
+
 def multiscalar_mul(scalars, points) -> RistrettoPoint:
     """Host Pippenger MSM (test oracle / small-input path).
 

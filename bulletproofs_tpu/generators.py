@@ -18,7 +18,8 @@ import hashlib
 import struct
 from typing import List
 
-from .core.ristretto import RistrettoPoint, RISTRETTO_BASEPOINT
+from .core.ristretto import (RistrettoPoint, RISTRETTO_BASEPOINT,
+                             multiscalar_mul_ct)
 from .core.scalar import Scalar
 
 
@@ -34,7 +35,9 @@ class PedersenGens:
                                RISTRETTO_BASEPOINT.compress()))
 
     def commit(self, value: Scalar, blinding: Scalar) -> RistrettoPoint:
-        return self.B.scalar_mul(value) + self.B_blinding.scalar_mul(blinding)
+        # consttime 2-term MSM: value/blinding are witness data (the
+        # reference uses MultiscalarMul here, src/generators.rs:39-41)
+        return multiscalar_mul_ct([value, blinding], [self.B, self.B_blinding])
 
 
 class GeneratorsChain:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import List
 
-from ..core.ristretto import RistrettoPoint, multiscalar_mul
+from ..core.ristretto import RistrettoPoint, bit_commit, multiscalar_mul_ct
 from ..core.scalar import Scalar
 from ..errors import MPCError
 from ..generators import BulletproofGens, PedersenGens
@@ -64,19 +64,21 @@ class PartyAwaitingPosition(_OneShot):
 
         a_blinding = Scalar.random(rng)
         # A = <a_L, G> + <a_R, H> + a_blinding * B_blinding, where
-        # a_L[i] = bit i, a_R[i] = a_L[i] - 1: each term is +G_i or -H_i.
-        A = self.pc_gens.B_blinding.scalar_mul(a_blinding)
+        # a_L[i] = bit i, a_R[i] = a_L[i] - 1: each term is +G_i or -H_i,
+        # selected branchlessly in native code (reference party.rs:102-112
+        # uses subtle::ConditionallySelectable for the same reason)
         Gs, Hs = share.G(self.n), share.H(self.n)
-        for i in range(self.n):
-            v_i = (self.v >> i) & 1
-            A = A + (Gs[i] if v_i else -Hs[i])
+        A = bit_commit(self.n, self.v, Gs, Hs, a_blinding,
+                       self.pc_gens.B_blinding)
 
         s_blinding = Scalar.random(rng)
         s_L = [Scalar.random(rng) for _ in range(self.n)]
         s_R = [Scalar.random(rng) for _ in range(self.n)]
 
-        S = multiscalar_mul([s_blinding] + s_L + s_R,
-                            [self.pc_gens.B_blinding] + Gs + Hs)
+        # consttime Straus: s_L/s_R blind the secret bits later, so their
+        # digits must not leak (reference party.rs:119-124, MultiscalarMul)
+        S = multiscalar_mul_ct([s_blinding] + s_L + s_R,
+                               [self.pc_gens.B_blinding] + Gs + Hs)
 
         bit_commitment = BitCommitment(V_j=self.V, A_j=A, S_j=S)
         next_state = PartyAwaitingBitChallenge(

@@ -174,7 +174,12 @@ class Prover(RandomizableConstraintSystem):
     def prove(self, bp_gens: BulletproofGens, rng=None, msm=None) -> R1CSProof:
         rng = rng or _SysRandom()
         if msm is None:
-            from ...ops.vec_msm import msm_host_auto as msm
+            # witness commitments default to the consttime Straus path, as
+            # the reference does (prover.rs:433-459 uses MultiscalarMul, not
+            # Vartime*).  Callers may inject a device msm: the Pallas
+            # Pippenger's one-hot bucket mux has a data-independent access
+            # pattern, so it is an acceptable consttime substitute on TPU.
+            from ...core.ristretto import multiscalar_mul_ct as msm
         transcript = self._transcript
 
         transcript.append_u64(b"m", len(self.v))

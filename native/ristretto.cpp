@@ -182,6 +182,117 @@ int rist_is_identity(const uint8_t a[128]) {
   return ge_rist_eq(p, GE_IDENTITY) ? 1 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Constant-time paths for witness-dependent commitments.  The reference
+// prover uses consttime Straus (`MultiscalarMul`) for the bit/blinding
+// commitments (src/range_proof/party.rs:102-124, src/generators.rs:39-41,
+// src/r1cs/prover.rs:433-459) and vartime Pippenger only on public or
+// already-blinded data.  These mirror that split: signed radix-16 Straus
+// with branchless table selection over complete additions; no memory
+// access or branch depends on scalar bits.
+
+static inline void fe_cmov(Fe& r, const Fe& a, uint64_t mask) {
+  for (int i = 0; i < 5; ++i) r.v[i] ^= mask & (r.v[i] ^ a.v[i]);
+}
+
+static inline void ge_cmov(Ge& r, const Ge& a, uint64_t mask) {
+  fe_cmov(r.X, a.X, mask);
+  fe_cmov(r.Y, a.Y, mask);
+  fe_cmov(r.Z, a.Z, mask);
+  fe_cmov(r.T, a.T, mask);
+}
+
+// 64 signed digits in [-8, 8]: s = sum d_i * 16^i.  Scalars are < l < 2^253
+// so the final carry keeps d_63 <= 8.
+static inline void sc_radix16_signed(int8_t out[64], const uint8_t s[32]) {
+  for (int i = 0; i < 32; ++i) {
+    out[2 * i] = (int8_t)(s[i] & 15);
+    out[2 * i + 1] = (int8_t)((s[i] >> 4) & 15);
+  }
+  int8_t carry = 0;
+  for (int i = 0; i < 63; ++i) {
+    out[i] = (int8_t)(out[i] + carry);
+    carry = (int8_t)((out[i] + 8) >> 4);
+    out[i] = (int8_t)(out[i] - (int8_t)(carry << 4));
+  }
+  out[63] = (int8_t)(out[63] + carry);
+}
+
+// r = [d]P from the table [P, 2P, .., 8P], scanning every entry.
+static inline void ge_select_signed(Ge& r, const Ge table[8], int8_t d) {
+  const uint8_t ud = (uint8_t)d;
+  const uint8_t neg = ud >> 7;
+  const uint8_t mag = (uint8_t)((ud ^ (uint8_t)(0 - neg)) + neg);
+  r = GE_IDENTITY;
+  for (uint32_t j = 1; j <= 8; ++j) {
+    const uint32_t x = j ^ (uint32_t)mag;
+    const uint64_t m = 0 - (uint64_t)((x - 1) >> 31);
+    ge_cmov(r, table[j - 1], m);
+  }
+  Ge negp;
+  ge_neg(negp, r);
+  ge_cmov(r, negp, 0 - (uint64_t)neg);
+}
+
+static void msm_ct_core(size_t n, const uint8_t* scalars, const Ge* pts,
+                        Ge& acc) {
+  std::vector<Ge> table(n * 8);
+  std::vector<int8_t> digits(n * 64);
+  for (size_t i = 0; i < n; ++i) {
+    Ge* t = &table[8 * i];
+    t[0] = pts[i];
+    for (int j = 1; j < 8; ++j) ge_add(t[j], t[j - 1], pts[i]);
+    sc_radix16_signed(&digits[64 * i], scalars + 32 * i);
+  }
+  acc = GE_IDENTITY;
+  Ge sel;
+  for (int d = 63; d >= 0; --d) {
+    ge_dbl(acc, acc);
+    ge_dbl(acc, acc);
+    ge_dbl(acc, acc);
+    ge_dbl(acc, acc);
+    for (size_t i = 0; i < n; ++i) {
+      ge_select_signed(sel, &table[8 * i], digits[64 * i + d]);
+      ge_add(acc, acc, sel);
+    }
+  }
+}
+
+// Constant-time MSM: out = sum_i scalars[i] * points[i].
+void rist_msm_ct(size_t n, const uint8_t* scalars, const uint8_t* points,
+                 uint8_t out[128]) {
+  if (n == 0) {
+    ge_to_ext_bytes(out, GE_IDENTITY);
+    return;
+  }
+  std::vector<Ge> pts(n);
+  for (size_t i = 0; i < n; ++i) ge_from_ext_bytes(pts[i], points + 128 * i);
+  Ge acc;
+  msm_ct_core(n, scalars, pts.data(), acc);
+  ge_to_ext_bytes(out, acc);
+}
+
+// A_j = blind*B_tilde + sum_i (bit_i(v) ? G_i : -H_i), branchless in the
+// value bits (reference party.rs:102-112 via subtle::ConditionallySelectable).
+void rist_bit_commit(size_t n, uint64_t v, const uint8_t* Gs,
+                     const uint8_t* Hs, const uint8_t blind[32],
+                     const uint8_t Bb[128], uint8_t out[128]) {
+  Ge bpt;
+  ge_from_ext_bytes(bpt, Bb);
+  Ge acc;
+  msm_ct_core(1, blind, &bpt, acc);
+  Ge g, h, sel;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(g, Gs + 128 * i);
+    ge_from_ext_bytes(h, Hs + 128 * i);
+    ge_neg(sel, h);
+    const uint64_t m = 0 - ((v >> i) & 1);
+    ge_cmov(sel, g, m);
+    ge_add(acc, acc, sel);
+  }
+  ge_to_ext_bytes(out, acc);
+}
+
 void rist_batch_compress(size_t n, const uint8_t* pts, uint8_t* out) {
   Ge p;
   for (size_t i = 0; i < n; ++i) {

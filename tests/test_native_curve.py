@@ -102,3 +102,58 @@ def test_native_sum_and_fold():
     for i in range(2):
         got = R._from_ext(outs.raw[128 * i:128 * (i + 1)])
         assert got == a_pts[i] + b_pts[i].scalar_mul(x)
+
+
+def test_ct_msm_matches_vartime():
+    """Consttime Straus (rist_msm_ct) agrees with the vartime Pippenger on
+    random inputs and the zero/l-1 edge scalars (reference consttime
+    MultiscalarMul vs VartimeMultiscalarMul, curve25519-dalek)."""
+    from bulletproofs_tpu.core.ristretto import multiscalar_mul_ct
+    from bulletproofs_tpu.core.scalar import L
+    for n in (1, 2, 5, 33, 129):
+        pts = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+               for _ in range(n)]
+        scs = [_rand_scalar() for _ in range(n)]
+        assert multiscalar_mul(scs, pts) == multiscalar_mul_ct(scs, pts)
+    pts = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+           for _ in range(4)]
+    scs = [Scalar.zero(), Scalar(L - 1), Scalar.one(), Scalar.zero()]
+    assert multiscalar_mul(scs, pts) == multiscalar_mul_ct(scs, pts)
+    assert multiscalar_mul_ct([], []) == RistrettoPoint.identity()
+
+
+def test_ct_msm_pure_fallback_matches(monkeypatch):
+    from bulletproofs_tpu.core.ristretto import multiscalar_mul_ct
+    pts = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+           for _ in range(7)]
+    scs = [_rand_scalar() for _ in range(7)]
+    native = multiscalar_mul_ct(scs, pts)
+    _pure(monkeypatch)
+    assert multiscalar_mul_ct(scs, pts).compress() == native.compress()
+
+
+def test_bit_commit_matches_oracle(monkeypatch):
+    """A_j = blind*B~ + sum(bit ? G : -H) equals the equivalent MSM with
+    scalars {v_i} and {v_i - 1} (reference party.rs:102-112), native and
+    pure paths alike."""
+    from bulletproofs_tpu.core.ristretto import bit_commit
+    for n in (8, 64):
+        Gs = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+              for _ in range(n)]
+        Hs = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+              for _ in range(n)]
+        Bb = RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+        v = int.from_bytes(secrets.token_bytes(8), "little") & ((1 << n) - 1)
+        blind = _rand_scalar()
+        got = bit_commit(n, v, Gs, Hs, blind, Bb)
+        bits = [(v >> i) & 1 for i in range(n)]
+        want = multiscalar_mul([blind] + bits + [b - 1 for b in bits],
+                               [Bb] + Gs + Hs)
+        assert got == want
+        # extreme values: all-zero and all-one bit patterns
+        for vv in (0, (1 << n) - 1):
+            assert (bit_commit(n, vv, Gs, Hs, blind, Bb).compress() ==
+                    multiscalar_mul(
+                        [blind] + [(vv >> i) & 1 for i in range(n)]
+                        + [((vv >> i) & 1) - 1 for i in range(n)],
+                        [Bb] + Gs + Hs).compress())
