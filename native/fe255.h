@@ -458,6 +458,23 @@ static inline void ge_to_ext_bytes(uint8_t out[128], const Ge& p) {
   fe_tobytes(out + 96, p.T);
 }
 
+// 64 signed digits in [-8, 8]: s = sum d_i * 16^i.  Scalars are < l < 2^253
+// so the final carry keeps d_63 <= 8.  Branchless; shared by the consttime
+// Straus paths (ristretto.cpp, ristretto_ifma.cpp).
+static inline void sc_radix16_signed(int8_t out[64], const uint8_t s[32]) {
+  for (int i = 0; i < 32; ++i) {
+    out[2 * i] = (int8_t)(s[i] & 15);
+    out[2 * i + 1] = (int8_t)((s[i] >> 4) & 15);
+  }
+  int8_t carry = 0;
+  for (int i = 0; i < 63; ++i) {
+    out[i] = (int8_t)(out[i] + carry);
+    carry = (int8_t)((out[i] + 8) >> 4);
+    out[i] = (int8_t)(out[i] - (int8_t)(carry << 4));
+  }
+  out[63] = (int8_t)(out[63] + carry);
+}
+
 }  // namespace fe255
 
 #endif  // BPTPU_FE255_H

@@ -25,6 +25,11 @@ int rist_scalar_mul_ifma(const uint8_t pt[128], const uint8_t sc[32],
                          uint8_t out[128]);
 int rist_fold_ifma(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
                    const uint8_t sc[32], uint8_t* out);
+int rist_msm_ct_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
+                     uint8_t out[128]);
+int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
+                         const uint8_t* Hs, const uint8_t blind[32],
+                         const uint8_t Bb[128], uint8_t out[128]);
 
 // out = sum_i scalars[i] * points[i]; vartime bucketed Pippenger.
 void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
@@ -202,22 +207,6 @@ static inline void ge_cmov(Ge& r, const Ge& a, uint64_t mask) {
   fe_cmov(r.T, a.T, mask);
 }
 
-// 64 signed digits in [-8, 8]: s = sum d_i * 16^i.  Scalars are < l < 2^253
-// so the final carry keeps d_63 <= 8.
-static inline void sc_radix16_signed(int8_t out[64], const uint8_t s[32]) {
-  for (int i = 0; i < 32; ++i) {
-    out[2 * i] = (int8_t)(s[i] & 15);
-    out[2 * i + 1] = (int8_t)((s[i] >> 4) & 15);
-  }
-  int8_t carry = 0;
-  for (int i = 0; i < 63; ++i) {
-    out[i] = (int8_t)(out[i] + carry);
-    carry = (int8_t)((out[i] + 8) >> 4);
-    out[i] = (int8_t)(out[i] - (int8_t)(carry << 4));
-  }
-  out[63] = (int8_t)(out[63] + carry);
-}
-
 // r = [d]P from the table [P, 2P, .., 8P], scanning every entry.
 static inline void ge_select_signed(Ge& r, const Ge table[8], int8_t d) {
   const uint8_t ud = (uint8_t)d;
@@ -261,6 +250,7 @@ static void msm_ct_core(size_t n, const uint8_t* scalars, const Ge* pts,
 // Constant-time MSM: out = sum_i scalars[i] * points[i].
 void rist_msm_ct(size_t n, const uint8_t* scalars, const uint8_t* points,
                  uint8_t out[128]) {
+  if (rist_msm_ct_ifma(n, scalars, points, out)) return;
   if (n == 0) {
     ge_to_ext_bytes(out, GE_IDENTITY);
     return;
@@ -277,6 +267,7 @@ void rist_msm_ct(size_t n, const uint8_t* scalars, const uint8_t* points,
 void rist_bit_commit(size_t n, uint64_t v, const uint8_t* Gs,
                      const uint8_t* Hs, const uint8_t blind[32],
                      const uint8_t Bb[128], uint8_t out[128]) {
+  if (rist_bit_commit_ifma(n, v, Gs, Hs, blind, Bb, out)) return;
   Ge bpt;
   ge_from_ext_bytes(bpt, Bb);
   Ge acc;

@@ -142,6 +142,111 @@ int rist_fold_ifma(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
   return 1;
 }
 
+// --- constant-time paths (see ristretto.cpp for the scalar versions) -------
+// Same signed radix-16 Straus, but every point op runs on the 4-lane
+// parallel formulas.  Selection is kmask blends on computed masks; no
+// branch or load address depends on scalar data.
+
+static inline void p4_cmov(P4& r, const P4& a, __mmask8 m) {
+  for (int i = 0; i < 5; ++i)
+    r.c.v[i] = _mm256_mask_mov_epi64(r.c.v[i], m, a.c.v[i]);
+}
+
+// negate lanes X (0) and T (3): 16p - v, then carry back to mul-safe
+static inline void p4_neg(P4& r, const P4& p) {
+  for (int i = 0; i < 5; ++i) {
+    const __m256i negv = _mm256_sub_epi64(bias_limb(i), p.c.v[i]);
+    r.c.v[i] = _mm256_mask_mov_epi64(p.c.v[i], 0x9, negv);
+  }
+  fe4_carry(r.c);
+}
+
+// r = [d]P from table [P..8P], scanning every entry
+static inline void p4_select_signed(P4& r, const P4 table[8], int8_t d) {
+  const uint8_t ud = (uint8_t)d;
+  const uint8_t neg = ud >> 7;
+  const uint8_t mag = (uint8_t)((ud ^ (uint8_t)(0 - neg)) + neg);
+  r = p4_identity();
+  for (uint32_t j = 1; j <= 8; ++j) {
+    const uint32_t x = j ^ (uint32_t)mag;
+    const __mmask8 m = (__mmask8)(0 - (uint8_t)((x - 1) >> 31));
+    p4_cmov(r, table[j - 1], m);
+  }
+  P4 negp;
+  p4_neg(negp, r);
+  p4_cmov(r, negp, (__mmask8)(0 - neg));
+}
+
+static void msm_ct_core_ifma(size_t n, const uint8_t* scalars, const P4* pts,
+                             P4& acc) {
+  std::vector<P4> table(n * 8);
+  std::vector<int8_t> digits(n * 64);
+  for (size_t i = 0; i < n; ++i) {
+    P4* t = &table[8 * i];
+    t[0] = pts[i];
+    for (int j = 1; j < 8; ++j) p4_add(t[j], t[j - 1], pts[i]);
+    sc_radix16_signed(&digits[64 * i], scalars + 32 * i);
+  }
+  acc = p4_identity();
+  P4 sel;
+  for (int d = 63; d >= 0; --d) {
+    p4_add(acc, acc, acc);
+    p4_add(acc, acc, acc);
+    p4_add(acc, acc, acc);
+    p4_add(acc, acc, acc);
+    for (size_t i = 0; i < n; ++i) {
+      p4_select_signed(sel, &table[8 * i], digits[64 * i + d]);
+      p4_add(acc, acc, sel);
+    }
+  }
+}
+
+int rist_msm_ct_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
+                     uint8_t out[128]) {
+  if (!cpu_ok()) return 0;
+  if (n == 0) {
+    ge_to_ext_bytes(out, GE_IDENTITY);
+    return 1;
+  }
+  std::vector<P4> pts(n);
+  Ge g;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(g, points + 128 * i);
+    pts[i] = p4_from_ge(g);
+  }
+  P4 acc;
+  msm_ct_core_ifma(n, scalars, pts.data(), acc);
+  Ge res;
+  p4_to_ge(res, acc);
+  ge_to_ext_bytes(out, res);
+  return 1;
+}
+
+int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
+                         const uint8_t* Hs, const uint8_t blind[32],
+                         const uint8_t Bb[128], uint8_t out[128]) {
+  if (!cpu_ok()) return 0;
+  Ge g;
+  ge_from_ext_bytes(g, Bb);
+  P4 bpt = p4_from_ge(g);
+  P4 acc;
+  msm_ct_core_ifma(1, blind, &bpt, acc);
+  P4 sel, negh;
+  for (size_t i = 0; i < n; ++i) {
+    ge_from_ext_bytes(g, Hs + 128 * i);
+    p4_neg(negh, p4_from_ge(g));
+    ge_from_ext_bytes(g, Gs + 128 * i);
+    const P4 gp = p4_from_ge(g);
+    sel = negh;
+    p4_cmov(sel, gp, (__mmask8)(0 - (uint8_t)((v >> i) & 1)));
+    p4_add(acc, acc, sel);
+  }
+  Ge res;
+  p4_to_ge(res, acc);
+  ge_to_ext_bytes(out, res);
+  return 1;
+}
+
 }  // extern "C"
 
 #else  // no IFMA at compile time: stubs that force the scalar fallback
@@ -151,6 +256,13 @@ int rist_msm_ifma(size_t, const uint8_t*, const uint8_t*, uint8_t*) { return 0; 
 int rist_scalar_mul_ifma(const uint8_t*, const uint8_t*, uint8_t*) { return 0; }
 int rist_fold_ifma(size_t, const uint8_t*, const uint8_t*, const uint8_t*,
                    uint8_t*) { return 0; }
+int rist_msm_ct_ifma(size_t, const uint8_t*, const uint8_t*, uint8_t*) {
+  return 0;
+}
+int rist_bit_commit_ifma(size_t, uint64_t, const uint8_t*, const uint8_t*,
+                         const uint8_t*, const uint8_t*, uint8_t*) {
+  return 0;
+}
 }
 
 #endif
