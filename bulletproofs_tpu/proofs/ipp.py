@@ -117,6 +117,11 @@ class InnerProductProof:
 
             a0 = Scalar(int.from_bytes(a_buf[0:32], "little"))
             b0 = Scalar(int.from_bytes(b_buf[0:32], "little"))
+            # genuine zeroization of the native secret buffers (the role
+            # clear_on_drop plays for the reference, util.rs:170-217); the
+            # Python-side Scalar lists are the caller's to drop
+            for buf in (a_buf, b_buf, g_buf, h_buf, scL, scR):
+                _ct.memset(buf, 0, _ct.sizeof(buf))
             return cls(L_vec, R_vec, a0, b0)
 
         # Pure-Python fallback (test oracle / native backend unbuilt)

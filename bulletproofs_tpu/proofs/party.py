@@ -85,6 +85,9 @@ class PartyAwaitingPosition(_OneShot):
             n=self.n, v=self.v, v_blinding=self.v_blinding,
             pc_gens=self.pc_gens, j=j,
             a_blinding=a_blinding, s_blinding=s_blinding, s_L=s_L, s_R=s_R)
+        # best-effort wipe of the consumed state (reference party.rs:148-153
+        # zeroizes PartyAwaitingPosition on Drop)
+        self.v = self.v_blinding = None
         return next_state, bit_commitment
 
 
@@ -138,6 +141,11 @@ class PartyAwaitingBitChallenge(_OneShot):
             s_blinding=self.s_blinding, offset_zz=offset_zz,
             l_poly=l_poly, r_poly=r_poly, t_poly=t_poly,
             t_1_blinding=t_1_blinding, t_2_blinding=t_2_blinding)
+        # wipe what the next state does not carry forward (reference
+        # party.rs:241-259 zeroizes PartyAwaitingBitChallenge on Drop)
+        self.v = self.v_blinding = self.a_blinding = self.s_blinding = None
+        self.s_L.clear()
+        self.s_R.clear()
         return next_state, poly_commitment
 
 
@@ -166,9 +174,17 @@ class PartyAwaitingPolyChallenge(_OneShot):
             self.t_1_blinding,
             self.t_2_blinding)
 
-        return ProofShare(
+        share = ProofShare(
             t_x=self.t_poly.eval(pc.x),
             t_x_blinding=t_blinding_poly.eval(pc.x),
             e_blinding=self.a_blinding + self.s_blinding * pc.x,
             l_vec=self.l_poly.eval(pc.x),
             r_vec=self.r_poly.eval(pc.x))
+        # final-state wipe (reference party.rs:309-319)
+        self.l_poly.wipe()
+        self.r_poly.wipe()
+        self.t_poly.wipe()
+        t_blinding_poly.wipe()
+        self.v_blinding = self.a_blinding = self.s_blinding = None
+        self.t_1_blinding = self.t_2_blinding = self.offset_zz = None
+        return share

@@ -325,6 +325,18 @@ class Prover(RandomizableConstraintSystem):
             transcript, Q, G_factors, H_factors,
             list(gens.G(padded_n)), list(gens.H(padded_n)), l_vec, r_vec)
 
+        # best-effort wipe of the blinding vectors and secret polys
+        # (reference prover.rs:672-679 zeroizes s_L/s_R; the poly types
+        # zeroize on Drop via clear_on_drop)
+        s_L1.clear()
+        s_R1.clear()
+        s_L2.clear()
+        s_R2.clear()
+        l_poly.wipe()
+        r_poly.wipe()
+        t_poly.wipe()
+        t_blinding_poly.wipe()
+
         return R1CSProof(A_I1, A_O1, S1, A_I2, A_O2, S2,
                          T_1, T_3, T_4, T_5, T_6,
                          t_x, t_x_blinding, e_blinding, ipp_proof)

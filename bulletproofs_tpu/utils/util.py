@@ -78,6 +78,14 @@ class VecPoly1:
     def eval(self, x: Scalar) -> List[Scalar]:
         return [a + b * x for a, b in zip(self.c0, self.c1)]
 
+    def wipe(self) -> None:
+        """Best-effort secret clearing (the role clear_on_drop plays for the
+        reference, util.rs:170-186).  Python ints are immutable, so this
+        drops the references and empties the containers; the native prover
+        path additionally memsets its ctypes scalar buffers."""
+        self.c0.clear()
+        self.c1.clear()
+
 
 class Poly2:
     """Degree-2 scalar polynomial a + b*x + c*x^2 (reference util.rs:27,157-161)."""
@@ -87,6 +95,10 @@ class Poly2:
 
     def eval(self, x: Scalar) -> Scalar:
         return self.a + x * (self.b + x * self.c)
+
+    def wipe(self) -> None:
+        """Best-effort secret clearing (reference util.rs:202-208)."""
+        self.a = self.b = self.c = None
 
 
 class VecPoly3:
@@ -116,6 +128,11 @@ class VecPoly3:
         return [c0 + x * (c1 + x * (c2 + x * c3))
                 for c0, c1, c2, c3 in zip(*self.c)]
 
+    def wipe(self) -> None:
+        """Best-effort secret clearing (reference util.rs:188-200)."""
+        for ci in self.c:
+            ci.clear()
+
 
 class Poly6:
     """Degree-6 scalar polynomial with no constant term (reference util.rs:31-38)."""
@@ -128,6 +145,10 @@ class Poly6:
         for coeff in reversed(self.t):
             acc = x * (coeff + acc)
         return acc
+
+    def wipe(self) -> None:
+        """Best-effort secret clearing (reference util.rs:210-217)."""
+        self.t = [None] * 6
 
 
 def read32(data: bytes, offset: int = 0) -> bytes:
