@@ -475,6 +475,36 @@ static inline void sc_radix16_signed(int8_t out[64], const uint8_t s[32]) {
   out[63] = (int8_t)(out[63] + carry);
 }
 
+// Signed c-bit window digits for vartime Pippenger: s = sum d_w * 2^(c*w)
+// with d_w in [-2^(c-1), 2^(c-1)].  Halves the bucket count vs unsigned
+// windows (bucket by |d|, add P or -P by sign).  nwin must be
+// ceil(253/c) + 1 so the final carry has somewhere to land.
+static inline void sc_signed_windows(const uint8_t s[32], int c, int nwin,
+                                     int32_t* out) {
+  uint32_t carry = 0;
+  const uint32_t full = (uint32_t)1 << c;
+  const uint32_t half = full >> 1;
+  for (int w = 0; w < nwin; ++w) {
+    const int bit0 = w * c;
+    uint32_t window = 0;
+    if (bit0 < 256) {
+      const int byte0 = bit0 >> 3, shift = bit0 & 7;
+      window = s[byte0] >> shift;
+      if (byte0 + 1 < 32) window |= (uint32_t)s[byte0 + 1] << (8 - shift);
+      if (shift > 0 && byte0 + 2 < 32)
+        window |= (uint32_t)s[byte0 + 2] << (16 - shift);
+    }
+    window = (window & (full - 1)) + carry;
+    if (window > half) {
+      out[w] = (int32_t)window - (int32_t)full;
+      carry = 1;
+    } else {
+      out[w] = (int32_t)window;
+      carry = 0;
+    }
+  }
+}
+
 }  // namespace fe255
 
 #endif  // BPTPU_FE255_H

@@ -62,11 +62,15 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
     return;
   }
 
-  // window size balancing stream adds (nwin*n) vs bucket reduction
-  // (nwin*2^(c+1)) -- reduction dominates if c grows too early
-  const int c = n < 32 ? 4 : (n < 1024 ? 6 : (n < 8192 ? 8 : (n < 32768 ? 10 : 12)));
-  const int nwin = (253 + c - 1) / c;
-  const size_t nbuckets = (size_t)1 << c;
+  // signed-digit windows: bucket by |d| (half the buckets of unsigned),
+  // add P or -P by sign.  Window size balances stream adds (nwin*n)
+  // against bucket reduction (nwin*2^c after halving).
+  const int c = n < 32 ? 4 : (n < 256 ? 6 : (n < 1024 ? 7 : (n < 8192 ? 9 : (n < 32768 ? 11 : 13))));
+  const int nwin = (253 + c - 1) / c + 1;
+  const size_t nbuckets = ((size_t)1 << (c - 1)) + 1;  // |d| in 0..2^(c-1)
+  std::vector<int32_t> digits((size_t)nwin * n);
+  for (size_t i = 0; i < n; ++i)
+    sc_signed_windows(scs[i], c, nwin, &digits[(size_t)nwin * i]);
   std::vector<Ge> buckets(nbuckets);
   std::vector<bool> used(nbuckets);
 
@@ -77,18 +81,14 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
       for (int d = 0; d < c; ++d) ge_dbl(acc, acc);
     std::fill(used.begin(), used.end(), false);
     size_t hi = 0;
-    const int bit0 = w * c;
     for (size_t i = 0; i < n; ++i) {
-      // extract c bits starting at bit0 from the 32-byte LE scalar
-      const uint8_t* s = scs[i];
-      const int byte0 = bit0 >> 3, shift = bit0 & 7;
-      uint32_t window = s[byte0] >> shift;
-      if (byte0 + 1 < 32) window |= (uint32_t)s[byte0 + 1] << (8 - shift);
-      if (shift > 0 && byte0 + 2 < 32) window |= (uint32_t)s[byte0 + 2] << (16 - shift);
-      const size_t digit = window & (nbuckets - 1);
-      if (!digit) continue;
-      if (used[digit]) ge_add(buckets[digit], buckets[digit], pts[i]);
-      else { buckets[digit] = pts[i]; used[digit] = true; }
+      const int32_t dg = digits[(size_t)nwin * i + w];
+      if (!dg) continue;
+      const size_t digit = (size_t)(dg > 0 ? dg : -dg);
+      Ge p;
+      if (dg < 0) ge_neg(p, pts[i]); else p = pts[i];
+      if (used[digit]) ge_add(buckets[digit], buckets[digit], p);
+      else { buckets[digit] = p; used[digit] = true; }
       if (digit > hi) hi = digit;
     }
     if (!hi) continue;

@@ -17,6 +17,21 @@ static bool cpu_ok() {
   return ok;
 }
 
+
+static inline void p4_cmov(P4& r, const P4& a, __mmask8 m) {
+  for (int i = 0; i < 5; ++i)
+    r.c.v[i] = _mm256_mask_mov_epi64(r.c.v[i], m, a.c.v[i]);
+}
+
+// negate lanes X (0) and T (3): 16p - v, then carry back to mul-safe
+static inline void p4_neg(P4& r, const P4& p) {
+  for (int i = 0; i < 5; ++i) {
+    const __m256i negv = _mm256_sub_epi64(bias_limb(i), p.c.v[i]);
+    r.c.v[i] = _mm256_mask_mov_epi64(p.c.v[i], 0x9, negv);
+  }
+  fe4_carry(r.c);
+}
+
 extern "C" {
 
 // returns 1 if handled, 0 if the CPU lacks IFMA (caller falls back)
@@ -48,9 +63,12 @@ int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
     return 1;
   }
 
-  const int c = n < 32 ? 4 : (n < 1024 ? 6 : (n < 8192 ? 8 : (n < 32768 ? 10 : 12)));
-  const int nwin = (253 + c - 1) / c;
-  const size_t nbuckets = (size_t)1 << c;
+  const int c = n < 32 ? 4 : (n < 256 ? 6 : (n < 1024 ? 7 : (n < 8192 ? 9 : (n < 32768 ? 11 : 13))));
+  const int nwin = (253 + c - 1) / c + 1;
+  const size_t nbuckets = ((size_t)1 << (c - 1)) + 1;  // signed digits: |d|
+  std::vector<int32_t> digits((size_t)nwin * n);
+  for (size_t i = 0; i < n; ++i)
+    sc_signed_windows(scs[i], c, nwin, &digits[(size_t)nwin * i]);
   std::vector<P4> buckets(nbuckets);
   std::vector<bool> used(nbuckets);
 
@@ -61,17 +79,14 @@ int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
       for (int d = 0; d < c; ++d) p4_add(acc, acc, acc);
     std::fill(used.begin(), used.end(), false);
     size_t hi = 0;
-    const int bit0 = w * c;
     for (size_t i = 0; i < n; ++i) {
-      const uint8_t* s = scs[i];
-      const int byte0 = bit0 >> 3, shift = bit0 & 7;
-      uint32_t window = s[byte0] >> shift;
-      if (byte0 + 1 < 32) window |= (uint32_t)s[byte0 + 1] << (8 - shift);
-      if (shift > 0 && byte0 + 2 < 32) window |= (uint32_t)s[byte0 + 2] << (16 - shift);
-      const size_t digit = window & (nbuckets - 1);
-      if (!digit) continue;
-      if (used[digit]) p4_add(buckets[digit], buckets[digit], pts[i]);
-      else { buckets[digit] = pts[i]; used[digit] = true; }
+      const int32_t dg = digits[(size_t)nwin * i + w];
+      if (!dg) continue;
+      const size_t digit = (size_t)(dg > 0 ? dg : -dg);
+      P4 p;
+      if (dg < 0) p4_neg(p, pts[i]); else p = pts[i];
+      if (used[digit]) p4_add(buckets[digit], buckets[digit], p);
+      else { buckets[digit] = p; used[digit] = true; }
       if (digit > hi) hi = digit;
     }
     if (!hi) continue;
@@ -146,20 +161,6 @@ int rist_fold_ifma(size_t n, const uint8_t* a_pts, const uint8_t* b_pts,
 // Same signed radix-16 Straus, but every point op runs on the 4-lane
 // parallel formulas.  Selection is kmask blends on computed masks; no
 // branch or load address depends on scalar data.
-
-static inline void p4_cmov(P4& r, const P4& a, __mmask8 m) {
-  for (int i = 0; i < 5; ++i)
-    r.c.v[i] = _mm256_mask_mov_epi64(r.c.v[i], m, a.c.v[i]);
-}
-
-// negate lanes X (0) and T (3): 16p - v, then carry back to mul-safe
-static inline void p4_neg(P4& r, const P4& p) {
-  for (int i = 0; i < 5; ++i) {
-    const __m256i negv = _mm256_sub_epi64(bias_limb(i), p.c.v[i]);
-    r.c.v[i] = _mm256_mask_mov_epi64(p.c.v[i], 0x9, negv);
-  }
-  fe4_carry(r.c);
-}
 
 // r = [d]P from table [P..8P], scanning every entry
 static inline void p4_select_signed(P4& r, const P4 table[8], int8_t d) {
