@@ -65,6 +65,9 @@ def _load():
         lib.rist_eq.restype = ctypes.c_int
         lib.rist_is_identity.argtypes = [ctypes.c_char_p]
         lib.rist_is_identity.restype = ctypes.c_int
+        lib.rist_msm_rows.argtypes = [sz, sz, ctypes.c_char_p,
+                                      ctypes.c_char_p, ctypes.c_char_p]
+        lib.rist_msm_rows.restype = None
         lib.rist_batch_compress.argtypes = [sz, ctypes.c_char_p,
                                             ctypes.c_char_p]
         lib.rist_batch_compress.restype = None

@@ -109,6 +109,15 @@ class FixedBaseTables:
             self.niels = jax.block_until_ready(_make_tables(lanes))
         return self.niels
 
+    def ensure_host_packed(self) -> bytes:
+        """Extended-coordinate packed basis for the native row-MSM
+        (built once; the off-TPU batch-prover stages reuse it)."""
+        packed = getattr(self, "_host_packed", None)
+        if packed is None:
+            from ..core.ristretto import pack_points
+            packed = self._host_packed = pack_points(self.host_points)
+        return packed
+
 
 class SubsetTables:
     """View over a FixedBaseTables restricted to a static base subset
@@ -377,6 +386,20 @@ def msm_rows_compressed(tables: FixedBaseTables, coef_bytes: np.ndarray,
     routing through compress_to_bytes would JIT the device compression
     kernel on the CPU backend (~45 s cold) for no benefit."""
     if not _on_tpu():
+        from ..core import ristretto as R
+        if R._NATIVE is not None:
+            # one C call for all rows over the shared packed basis, one for
+            # the batch compression -- no per-row Python object churn
+            import ctypes as _ct
+            q = coef_bytes.shape[0]
+            out = _ct.create_string_buffer(128 * q)
+            R._NATIVE.rist_msm_rows(
+                q, tables.num_bases,
+                np.ascontiguousarray(coef_bytes).tobytes(),
+                tables.ensure_host_packed(), out)
+            comp = _ct.create_string_buffer(32 * q)
+            R._NATIVE.rist_batch_compress(q, out, comp)
+            return np.frombuffer(comp.raw, np.uint8).reshape(q, 32).copy()
         rows = _host_msm_points(tables, coef_bytes)
         return np.frombuffer(b"".join(p.compress() for p in rows),
                              np.uint8).reshape(len(rows), 32)

@@ -284,6 +284,15 @@ void rist_bit_commit(size_t n, uint64_t v, const uint8_t* Gs,
   ge_to_ext_bytes(out, acc);
 }
 
+// Per-row MSMs over one shared packed basis (the batch-prover stages off
+// TPU): q rows of n 32-byte scalars against the same n packed points.
+// Each row routes through the signed-digit Pippenger (IFMA when present).
+void rist_msm_rows(size_t q, size_t n, const uint8_t* scalars,
+                   const uint8_t* points, uint8_t* out) {
+  for (size_t r = 0; r < q; ++r)
+    rist_msm(n, scalars + 32 * n * r, points, out + 128 * r);
+}
+
 void rist_batch_compress(size_t n, const uint8_t* pts, uint8_t* out) {
   Ge p;
   for (size_t i = 0; i < n; ++i) {
