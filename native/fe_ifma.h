@@ -183,6 +183,131 @@ static inline void p4_add(P4& out, const P4& p, const P4& q) {
 
 static inline P4 p4_identity() { return p4_from_ge(fe255::GE_IDENTITY); }
 
+// -- two-point layout (512-bit vectors) --------------------------------------
+// Lanes = (X_a, Y_a, Z_a, T_a, X_b, Y_b, Z_b, T_b): TWO independent point
+// additions per instruction stream.  The P4 shuffles map 1:1 because
+// _mm512_permutex_epi64 permutes within each 256-bit half independently
+// with the same immediate; the lane masks just duplicate (0x1 -> 0x11).
+// Used for the Pippenger bucket-accumulation stream, where consecutive
+// stream adds hit independent buckets almost always.
+
+struct Fe8 {
+  __m512i v[5];
+};
+
+struct P8 {
+  Fe8 c;
+};
+
+static inline __m512i bcast8(u64 x) { return _mm512_set1_epi64((long long)x); }
+
+static inline __m512i bias_limb8(int i) { return bcast8(i == 0 ? BIAS0 : BIASI); }
+
+static inline void fe8_carry(Fe8& r) {
+  const __m512i mask = bcast8(MASK51);
+  __m512i c;
+  c = _mm512_srli_epi64(r.v[0], 51); r.v[0] = _mm512_and_si512(r.v[0], mask);
+  r.v[1] = _mm512_add_epi64(r.v[1], c);
+  c = _mm512_srli_epi64(r.v[1], 51); r.v[1] = _mm512_and_si512(r.v[1], mask);
+  r.v[2] = _mm512_add_epi64(r.v[2], c);
+  c = _mm512_srli_epi64(r.v[2], 51); r.v[2] = _mm512_and_si512(r.v[2], mask);
+  r.v[3] = _mm512_add_epi64(r.v[3], c);
+  c = _mm512_srli_epi64(r.v[3], 51); r.v[3] = _mm512_and_si512(r.v[3], mask);
+  r.v[4] = _mm512_add_epi64(r.v[4], c);
+  c = _mm512_srli_epi64(r.v[4], 51); r.v[4] = _mm512_and_si512(r.v[4], mask);
+  __m512i c19 = _mm512_add_epi64(
+      _mm512_add_epi64(_mm512_slli_epi64(c, 4), _mm512_slli_epi64(c, 1)), c);
+  r.v[0] = _mm512_add_epi64(r.v[0], c19);
+  c = _mm512_srli_epi64(r.v[0], 51); r.v[0] = _mm512_and_si512(r.v[0], mask);
+  r.v[1] = _mm512_add_epi64(r.v[1], c);
+}
+
+static inline void fe8_mul(Fe8& r, const Fe8& a, const Fe8& b) {
+  const __m512i zero = _mm512_setzero_si512();
+  __m512i lo[9], hi[10];
+  for (int k = 0; k < 9; ++k) lo[k] = zero;
+  for (int k = 0; k < 10; ++k) hi[k] = zero;
+  for (int i = 0; i < 5; ++i) {
+    for (int j = 0; j < 5; ++j) {
+      lo[i + j] = _mm512_madd52lo_epu64(lo[i + j], a.v[i], b.v[j]);
+      hi[i + j + 1] = _mm512_madd52hi_epu64(hi[i + j + 1], a.v[i], b.v[j]);
+    }
+  }
+  __m512i L[10];
+  for (int t = 0; t < 10; ++t) {
+    __m512i lot = t < 9 ? lo[t] : zero;
+    L[t] = _mm512_add_epi64(lot, _mm512_slli_epi64(hi[t], 1));
+  }
+  for (int k = 0; k < 5; ++k) {
+    __m512i w = L[k + 5];
+    __m512i w19 = _mm512_add_epi64(
+        _mm512_add_epi64(_mm512_slli_epi64(w, 4), _mm512_slli_epi64(w, 1)), w);
+    r.v[k] = _mm512_add_epi64(L[k], w19);
+  }
+  fe8_carry(r);
+}
+
+static inline Fe8 k8_1_1_2_2d() {
+  const Fe4 k4 = k_1_1_2_2d();
+  Fe8 k;
+  for (int i = 0; i < 5; ++i)
+    k.v[i] = _mm512_broadcast_i64x4(k4.v[i]);
+  return k;
+}
+
+static inline Fe8 addsub_shuffle8(const Fe8& p) {
+  Fe8 r;
+  for (int i = 0; i < 5; ++i) {
+    __m512i u = _mm512_permutex_epi64(p.v[i], 0xE5);  // per-half (Y,Y,Z,T)
+    __m512i x = _mm512_permutex_epi64(p.v[i], 0x00);  // per-half (X,X,X,X)
+    __m512i t = _mm512_mask_sub_epi64(x, 0x11, bias_limb8(i), x);
+    t = _mm512_maskz_mov_epi64(0x33, t);
+    r.v[i] = _mm512_add_epi64(u, t);
+  }
+  fe8_carry(r);
+  return r;
+}
+
+// two independent complete additions (same formula as p4_add per half)
+static inline void p8_add(P8& out, const P8& p, const P8& q) {
+  const Fe8 sp = addsub_shuffle8(p.c);
+  const Fe8 sq = addsub_shuffle8(q.c);
+  Fe8 m;
+  fe8_mul(m, sp, sq);
+  const Fe8 k = k8_1_1_2_2d();
+  Fe8 m2;
+  fe8_mul(m2, m, k);
+  Fe8 efgh;
+  for (int i = 0; i < 5; ++i) {
+    __m512i u = _mm512_permutex_epi64(m2.v[i], 0x69);  // per-half (B,D,D,B)
+    __m512i v = _mm512_permutex_epi64(m2.v[i], 0x3C);  // per-half (A,C,C,A)
+    __m512i t = _mm512_mask_sub_epi64(v, 0x33, bias_limb8(i), v);
+    efgh.v[i] = _mm512_add_epi64(u, t);
+  }
+  fe8_carry(efgh);
+  Fe8 u8, v8;
+  for (int i = 0; i < 5; ++i) {
+    u8.v[i] = _mm512_permutex_epi64(efgh.v[i], 0x18);  // per-half (E,G,F,E)
+    v8.v[i] = _mm512_permutex_epi64(efgh.v[i], 0xED);  // per-half (F,H,G,H)
+  }
+  fe8_mul(out.c, u8, v8);
+}
+
+static inline P8 p8_pack(const P4& a, const P4& b) {
+  P8 r;
+  for (int i = 0; i < 5; ++i)
+    r.c.v[i] = _mm512_inserti64x4(_mm512_castsi256_si512(a.c.v[i]),
+                                  b.c.v[i], 1);
+  return r;
+}
+
+static inline void p8_unpack(const P8& p, P4& a, P4& b) {
+  for (int i = 0; i < 5; ++i) {
+    a.c.v[i] = _mm512_castsi512_si256(p.c.v[i]);
+    b.c.v[i] = _mm512_extracti64x4_epi64(p.c.v[i], 1);
+  }
+}
+
 }  // namespace fe_ifma
 
 #endif  // BPTPU_FE_IFMA_H

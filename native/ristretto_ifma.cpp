@@ -72,22 +72,54 @@ int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
   std::vector<P4> buckets(nbuckets);
   std::vector<bool> used(nbuckets);
 
+  // bucket accumulation runs two independent adds per instruction stream
+  // (P8, 512-bit lanes): buckets start at identity (complete formulas) so
+  // pairing needs no first-touch case; a pair hitting the same bucket is
+  // rare (1/nbuckets) and flushes singly.
+  const P4 id4 = p4_identity();
   P4 acc = p4_identity();
   bool acc_started = false;
   for (int w = nwin - 1; w >= 0; --w) {
     if (acc_started)
       for (int d = 0; d < c; ++d) p4_add(acc, acc, acc);
+    std::fill(buckets.begin(), buckets.end(), id4);
     std::fill(used.begin(), used.end(), false);
     size_t hi = 0;
+    long pend_i = -1;
+    int32_t pend_d = 0;
     for (size_t i = 0; i < n; ++i) {
       const int32_t dg = digits[(size_t)nwin * i + w];
       if (!dg) continue;
       const size_t digit = (size_t)(dg > 0 ? dg : -dg);
-      P4 p;
-      if (dg < 0) p4_neg(p, pts[i]); else p = pts[i];
-      if (used[digit]) p4_add(buckets[digit], buckets[digit], p);
-      else { buckets[digit] = p; used[digit] = true; }
+      used[digit] = true;
       if (digit > hi) hi = digit;
+      if (pend_i < 0) {
+        pend_i = (long)i;
+        pend_d = dg;
+        continue;
+      }
+      const size_t pdig = (size_t)(pend_d > 0 ? pend_d : -pend_d);
+      P4 pa;
+      if (pend_d < 0) p4_neg(pa, pts[pend_i]); else pa = pts[pend_i];
+      if (pdig == digit) {
+        p4_add(buckets[pdig], buckets[pdig], pa);
+        pend_i = (long)i;
+        pend_d = dg;
+        continue;
+      }
+      P4 pb;
+      if (dg < 0) p4_neg(pb, pts[i]); else pb = pts[i];
+      P8 B = p8_pack(buckets[pdig], buckets[digit]);
+      const P8 P = p8_pack(pa, pb);
+      p8_add(B, B, P);
+      p8_unpack(B, buckets[pdig], buckets[digit]);
+      pend_i = -1;
+    }
+    if (pend_i >= 0) {
+      const size_t pdig = (size_t)(pend_d > 0 ? pend_d : -pend_d);
+      P4 pa;
+      if (pend_d < 0) p4_neg(pa, pts[pend_i]); else pa = pts[pend_i];
+      p4_add(buckets[pdig], buckets[pdig], pa);
     }
     if (!hi) continue;
     P4 running, windowsum;

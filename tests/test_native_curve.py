@@ -157,3 +157,24 @@ def test_bit_commit_matches_oracle(monkeypatch):
                         [blind] + [(vv >> i) & 1 for i in range(n)]
                         + [((vv >> i) & 1) - 1 for i in range(n)],
                         [Bb] + Gs + Hs).compress())
+
+
+def test_msm_same_bucket_collisions(monkeypatch):
+    """All-equal scalars force every paired stream add into the same
+    bucket (the P8 pairing conflict path); duplicates and interleaved
+    zeros exercise the compaction edge."""
+    s = _rand_scalar()
+    pts = [RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+           for _ in range(33)]
+    native = multiscalar_mul([s] * 33, pts)
+    _pure(monkeypatch)
+    assert multiscalar_mul([s] * 33, pts).compress() == native.compress()
+
+
+def test_msm_duplicate_points_and_zero_scalars(monkeypatch):
+    base = RistrettoPoint.from_uniform_bytes(secrets.token_bytes(64))
+    pts = [base] * 16
+    scs = [Scalar.zero() if i % 2 else Scalar(i + 1) for i in range(16)]
+    native = multiscalar_mul(scs, pts)
+    _pure(monkeypatch)
+    assert multiscalar_mul(scs, pts).compress() == native.compress()
