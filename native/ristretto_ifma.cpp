@@ -69,75 +69,93 @@ int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
   std::vector<int32_t> digits((size_t)nwin * n);
   for (size_t i = 0; i < n; ++i)
     sc_signed_windows(scs[i], c, nwin, &digits[(size_t)nwin * i]);
-  std::vector<P4> buckets(nbuckets);
-  std::vector<bool> used(nbuckets);
-
-  // bucket accumulation runs two independent adds per instruction stream
-  // (P8, 512-bit lanes): buckets start at identity (complete formulas) so
-  // pairing needs no first-touch case; a pair hitting the same bucket is
-  // rare (1/nbuckets) and flushes singly.
+  // Paired-window accumulation: windows (w1, w0) run in the two 512-bit
+  // half-lanes end to end.  Point i's stream adds target DIFFERENT bucket
+  // arrays, so P8 pairs never conflict; the two suffix-sum reductions are
+  // independent chains and pair as well.  Buckets start at identity
+  // (complete formulas), so there is no first-touch case.  The final
+  // combine is the usual Horner walk acc = (acc*2^c + W_w1)*2^c + W_w0.
+  std::vector<P4> bucketsA(nbuckets), bucketsB(nbuckets);
   const P4 id4 = p4_identity();
-  P4 acc = p4_identity();
-  bool acc_started = false;
-  for (int w = nwin - 1; w >= 0; --w) {
-    if (acc_started)
-      for (int d = 0; d < c; ++d) p4_add(acc, acc, acc);
-    std::fill(buckets.begin(), buckets.end(), id4);
-    std::fill(used.begin(), used.end(), false);
+  std::vector<P4> wsum(nwin, id4);
+
+  int w = nwin - 1;
+  if (nwin & 1) {
+    // odd window count: top window runs unpaired (its digits are the
+    // scalar's top bits -- mostly tiny)
+    std::fill(bucketsA.begin(), bucketsA.end(), id4);
     size_t hi = 0;
-    long pend_i = -1;
-    int32_t pend_d = 0;
     for (size_t i = 0; i < n; ++i) {
       const int32_t dg = digits[(size_t)nwin * i + w];
       if (!dg) continue;
       const size_t digit = (size_t)(dg > 0 ? dg : -dg);
-      used[digit] = true;
+      P4 pv;
+      if (dg < 0) p4_neg(pv, pts[i]); else pv = pts[i];
+      p4_add(bucketsA[digit], bucketsA[digit], pv);
       if (digit > hi) hi = digit;
-      if (pend_i < 0) {
-        pend_i = (long)i;
-        pend_d = dg;
-        continue;
-      }
-      const size_t pdig = (size_t)(pend_d > 0 ? pend_d : -pend_d);
-      P4 pa;
-      if (pend_d < 0) p4_neg(pa, pts[pend_i]); else pa = pts[pend_i];
-      if (pdig == digit) {
-        p4_add(buckets[pdig], buckets[pdig], pa);
-        pend_i = (long)i;
-        pend_d = dg;
-        continue;
-      }
-      P4 pb;
-      if (dg < 0) p4_neg(pb, pts[i]); else pb = pts[i];
-      P8 B = p8_pack(buckets[pdig], buckets[digit]);
-      const P8 P = p8_pack(pa, pb);
-      p8_add(B, B, P);
-      p8_unpack(B, buckets[pdig], buckets[digit]);
-      pend_i = -1;
     }
-    if (pend_i >= 0) {
-      const size_t pdig = (size_t)(pend_d > 0 ? pend_d : -pend_d);
-      P4 pa;
-      if (pend_d < 0) p4_neg(pa, pts[pend_i]); else pa = pts[pend_i];
-      p4_add(buckets[pdig], buckets[pdig], pa);
-    }
-    if (!hi) continue;
-    P4 running, windowsum;
-    bool run_started = false, win_started = false;
+    P4 running = id4, windowsum = id4;
     for (size_t b = hi; b >= 1; --b) {
-      if (used[b]) {
-        if (run_started) p4_add(running, running, buckets[b]);
-        else { running = buckets[b]; run_started = true; }
-      }
-      if (run_started) {
-        if (win_started) p4_add(windowsum, windowsum, running);
-        else { windowsum = running; win_started = true; }
+      p4_add(running, running, bucketsA[b]);
+      p4_add(windowsum, windowsum, running);
+    }
+    wsum[w] = windowsum;
+    --w;
+  }
+  for (; w >= 1; w -= 2) {
+    const int w1 = w, w0 = w - 1;
+    std::fill(bucketsA.begin(), bucketsA.end(), id4);
+    std::fill(bucketsB.begin(), bucketsB.end(), id4);
+    size_t hiA = 0, hiB = 0;
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t d1 = digits[(size_t)nwin * i + w1];
+      const int32_t d0 = digits[(size_t)nwin * i + w0];
+      if (d1 && d0) {
+        const size_t m1 = (size_t)(d1 > 0 ? d1 : -d1);
+        const size_t m0 = (size_t)(d0 > 0 ? d0 : -d0);
+        P4 pa, pb;
+        if (d1 < 0) p4_neg(pa, pts[i]); else pa = pts[i];
+        if (d0 < 0) p4_neg(pb, pts[i]); else pb = pts[i];
+        P8 B = p8_pack(bucketsA[m1], bucketsB[m0]);
+        const P8 P = p8_pack(pa, pb);
+        p8_add(B, B, P);
+        p8_unpack(B, bucketsA[m1], bucketsB[m0]);
+        if (m1 > hiA) hiA = m1;
+        if (m0 > hiB) hiB = m0;
+      } else if (d1) {
+        const size_t m1 = (size_t)(d1 > 0 ? d1 : -d1);
+        P4 pv;
+        if (d1 < 0) p4_neg(pv, pts[i]); else pv = pts[i];
+        p4_add(bucketsA[m1], bucketsA[m1], pv);
+        if (m1 > hiA) hiA = m1;
+      } else if (d0) {
+        const size_t m0 = (size_t)(d0 > 0 ? d0 : -d0);
+        P4 pv;
+        if (d0 < 0) p4_neg(pv, pts[i]); else pv = pts[i];
+        p4_add(bucketsB[m0], bucketsB[m0], pv);
+        if (m0 > hiB) hiB = m0;
       }
     }
-    if (win_started) {
-      if (acc_started) p4_add(acc, acc, windowsum);
-      else { acc = windowsum; acc_started = true; }
+    // paired suffix-sum reduction over b = max(hiA, hiB) .. 1; identity
+    // buckets are value-neutral under the complete formulas
+    const size_t hi = hiA > hiB ? hiA : hiB;
+    if (!hi) continue;
+    P8 running = p8_pack(id4, id4), windowsum = running;
+    for (size_t b = hi; b >= 1; --b) {
+      const P8 bk = p8_pack(bucketsA[b], bucketsB[b]);
+      p8_add(running, running, bk);
+      p8_add(windowsum, windowsum, running);
     }
+    p8_unpack(windowsum, wsum[w1], wsum[w0]);
+  }
+  // Horner combine: acc = (acc * 2^c + W_k) walking down.  Doubling or
+  // adding identity is correct under the complete formulas, so no
+  // started-flag bookkeeping is needed (the top window is the only one
+  // likely empty, costing c no-op doublings).
+  P4 acc = id4;
+  for (int k = nwin - 1; k >= 0; --k) {
+    for (int d = 0; d < c; ++d) p4_add(acc, acc, acc);
+    p4_add(acc, acc, wsum[k]);
   }
   Ge res;
   p4_to_ge(res, acc);
