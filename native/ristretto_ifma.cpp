@@ -228,28 +228,94 @@ static inline void p4_select_signed(P4& r, const P4 table[8], int8_t d) {
   p4_cmov(r, negp, (__mmask8)(0 - neg));
 }
 
-static void msm_ct_core_ifma(size_t n, const uint8_t* scalars, const P4* pts,
-                             P4& acc) {
-  std::vector<P4> table(n * 8);
-  std::vector<int8_t> digits(n * 64);
-  for (size_t i = 0; i < n; ++i) {
-    P4* t = &table[8 * i];
-    t[0] = pts[i];
-    for (int j = 1; j < 8; ++j) p4_add(t[j], t[j - 1], pts[i]);
-    sc_radix16_signed(&digits[64 * i], scalars + 32 * i);
+// negate lanes X/T of BOTH halves (the P8 analog of p4_neg)
+static inline void p8_neg_both(P8& r, const P8& p) {
+  for (int i = 0; i < 5; ++i) {
+    const __m512i negv = _mm512_sub_epi64(bias_limb8(i), p.c.v[i]);
+    r.c.v[i] = _mm512_mask_mov_epi64(p.c.v[i], 0x99, negv);
   }
-  acc = p4_identity();
-  P4 sel;
+  fe8_carry(r.c);
+}
+
+static inline void p8_cmov(P8& r, const P8& a, __mmask8 m) {
+  for (int i = 0; i < 5; ++i)
+    r.c.v[i] = _mm512_mask_mov_epi64(r.c.v[i], m, a.c.v[i]);
+}
+
+// paired table select: half a gets [da]*P_a, half b gets [db]*P_b, from a
+// pre-paired table [P_pair, 2P_pair, .., 8P_pair]; branchless in both
+// digits (per-half kmask blends)
+static inline void p8_select_signed2(P8& r, const P8 table[8], const P8& id8,
+                                     int8_t da, int8_t db) {
+  const uint8_t uda = (uint8_t)da, udb = (uint8_t)db;
+  const uint8_t nega = uda >> 7, negb = udb >> 7;
+  const uint8_t maga = (uint8_t)((uda ^ (uint8_t)(0 - nega)) + nega);
+  const uint8_t magb = (uint8_t)((udb ^ (uint8_t)(0 - negb)) + negb);
+  r = id8;
+  for (uint32_t j = 1; j <= 8; ++j) {
+    const uint32_t xa = j ^ (uint32_t)maga;
+    const uint32_t xb = j ^ (uint32_t)magb;
+    const uint8_t ma = (uint8_t)(0 - (uint8_t)((xa - 1) >> 31)) & 0x0F;
+    const uint8_t mb = (uint8_t)(0 - (uint8_t)((xb - 1) >> 31)) & 0xF0;
+    p8_cmov(r, table[j - 1], (__mmask8)(ma | mb));
+  }
+  P8 negp;
+  p8_neg_both(negp, r);
+  const __mmask8 mn = (__mmask8)(
+      (0x0F & (uint8_t)(0 - nega)) | (0xF0 & (uint8_t)(0 - negb)));
+  p8_cmov(r, negp, mn);
+}
+
+// Consttime Straus with point pairs in the two 512-bit half-lanes: two
+// accumulators (even/odd points) run the same doubling schedule and merge
+// at the end -- sum_i [s_i]P_i = sum_even + sum_odd.  Table build, digit
+// selection, and accumulation all pair; an odd tail point rides half a
+// with identity in half b.
+static void msm_ct_core_ifma(size_t n, const uint8_t* scalars, const P4* pts,
+                             P4& out) {
+  const size_t np = n / 2;
+  const bool odd = (n & 1) != 0;
+  const P4 id4 = p4_identity();
+  const P8 id8 = p8_pack(id4, id4);
+  std::vector<P8> table(np * 8);
+  P4 tail_table[8];
+  std::vector<int8_t> digits(n * 64);
+  for (size_t k = 0; k < np; ++k) {
+    P8* t = &table[8 * k];
+    const P8 base = p8_pack(pts[2 * k], pts[2 * k + 1]);
+    t[0] = base;
+    for (int j = 1; j < 8; ++j) p8_add(t[j], t[j - 1], base);
+  }
+  if (odd) {
+    tail_table[0] = pts[n - 1];
+    for (int j = 1; j < 8; ++j)
+      p4_add(tail_table[j], tail_table[j - 1], pts[n - 1]);
+  }
+  for (size_t i = 0; i < n; ++i)
+    sc_radix16_signed(&digits[64 * i], scalars + 32 * i);
+
+  P8 acc = id8;
+  P8 sel;
+  P4 sel4;
   for (int d = 63; d >= 0; --d) {
-    p4_add(acc, acc, acc);
-    p4_add(acc, acc, acc);
-    p4_add(acc, acc, acc);
-    p4_add(acc, acc, acc);
-    for (size_t i = 0; i < n; ++i) {
-      p4_select_signed(sel, &table[8 * i], digits[64 * i + d]);
-      p4_add(acc, acc, sel);
+    p8_add(acc, acc, acc);
+    p8_add(acc, acc, acc);
+    p8_add(acc, acc, acc);
+    p8_add(acc, acc, acc);
+    for (size_t k = 0; k < np; ++k) {
+      p8_select_signed2(sel, &table[8 * k], id8,
+                        digits[64 * (2 * k) + d],
+                        digits[64 * (2 * k + 1) + d]);
+      p8_add(acc, acc, sel);
+    }
+    if (odd) {
+      p4_select_signed(sel4, tail_table, digits[64 * (n - 1) + d]);
+      p8_add(acc, acc, p8_pack(sel4, id4));
     }
   }
+  P4 a, b;
+  p8_unpack(acc, a, b);
+  p4_add(out, a, b);
 }
 
 int rist_msm_ct_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
