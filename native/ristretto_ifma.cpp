@@ -348,16 +348,31 @@ int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
   P4 bpt = p4_from_ge(g);
   P4 acc;
   msm_ct_core_ifma(1, blind, &bpt, acc);
-  P4 sel, negh;
-  for (size_t i = 0; i < n; ++i) {
+  // pair the bit-selected terms: lanes a/b carry bits i and i+1
+  const P4 id4 = p4_identity();
+  P8 acc8 = p8_pack(acc, id4);
+  P4 sela, selb, negh;
+  auto select_term = [&](size_t i, P4& sel) {
     ge_from_ext_bytes(g, Hs + 128 * i);
     p4_neg(negh, p4_from_ge(g));
     ge_from_ext_bytes(g, Gs + 128 * i);
     const P4 gp = p4_from_ge(g);
     sel = negh;
     p4_cmov(sel, gp, (__mmask8)(0 - (uint8_t)((v >> i) & 1)));
-    p4_add(acc, acc, sel);
+  };
+  size_t i = 0;
+  for (; i + 1 < n; i += 2) {
+    select_term(i, sela);
+    select_term(i + 1, selb);
+    p8_add(acc8, acc8, p8_pack(sela, selb));
   }
+  if (i < n) {
+    select_term(i, sela);
+    p8_add(acc8, acc8, p8_pack(sela, id4));
+  }
+  P4 lo, hi;
+  p8_unpack(acc8, lo, hi);
+  p4_add(acc, lo, hi);
   Ge res;
   p4_to_ge(res, acc);
   ge_to_ext_bytes(out, res);
