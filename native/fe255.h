@@ -352,7 +352,12 @@ static inline void rist_encode(uint8_t out[32], const Ge& p) {
 }
 
 // returns true on success; false on non-canonical / invalid encodings
-static inline bool rist_decode(Ge& r, const uint8_t in[32]) {
+// Decode phase 1: canonicality + algebraic setup.  The expensive part of
+// the decode is the invsqrt chain sqrt_ratio_m1(1, vu) with vu = v*u2^2 --
+// split out so a 4-lane backend can batch the exponentiation
+// (ristretto_ifma.cpp) while prep/finish stay scalar.
+static inline bool rist_decode_prep(const uint8_t in[32], Fe& s, Fe& u1,
+                                    Fe& u2, Fe& v, Fe& vu) {
   // canonical check: value < p and nonnegative (even)
   static const uint8_t P_BYTES[32] = {
       0xed, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
@@ -366,9 +371,8 @@ static inline bool rist_decode(Ge& r, const uint8_t in[32]) {
     if (in[i] > P_BYTES[i]) return false;
   }
   if (!lt) return false;
-  Fe s;
   fe_frombytes(s, in);
-  Fe ss, u1, u2, u2_sqr, v, t0;
+  Fe ss, u2_sqr, t0;
   fe_sq(ss, s);
   fe_sub(u1, FE_ONE, ss); fe_carry(u1);
   fe_add(u2, FE_ONE, ss); fe_carry(u2);
@@ -376,20 +380,49 @@ static inline bool rist_decode(Ge& r, const uint8_t in[32]) {
   fe_sq(t0, u1); fe_mul(t0, t0, FE_D);
   fe_neg(v, t0);
   fe_sub(v, v, u2_sqr); fe_carry(v);
-  Fe invsqrt, vu;
   fe_mul(vu, v, u2_sqr);
-  const bool was_square = fe_sqrt_ratio_m1(invsqrt, FE_ONE, vu);
-  Fe den_x, den_y, x, y, t;
-  fe_mul(den_x, invsqrt, u2);
-  fe_mul(den_y, invsqrt, den_x); fe_mul(den_y, den_y, v);
+  return true;
+}
+
+// Decode phase 2: given rr = vu^3 * (vu^7)^((p-5)/8) (the pre-adjustment
+// sqrt_ratio_m1(1, vu) candidate), apply the i-flips/abs and assemble the
+// point.  Mirrors fe_sqrt_ratio_m1 with u = 1.
+static inline bool rist_decode_finish(const Fe& s, const Fe& u1, const Fe& u2,
+                                      const Fe& v, const Fe& vu,
+                                      const Fe& rr, Ge& g) {
+  Fe r = rr, check, one_neg, one_neg_i, r_prime;
+  fe_sq(check, r); fe_mul(check, check, vu);
+  fe_neg(one_neg, FE_ONE);
+  fe_mul(one_neg_i, one_neg, FE_SQRT_M1);
+  const bool correct = fe_eq(check, FE_ONE);
+  const bool flipped = fe_eq(check, one_neg);
+  const bool flipped_i = fe_eq(check, one_neg_i);
+  fe_mul(r_prime, r, FE_SQRT_M1);
+  if (flipped || flipped_i) r = r_prime;
+  Fe ra; fe_abs(ra, r); r = ra;                       // r = invsqrt
+  const bool was_square = correct || flipped;
+  Fe den_x, den_y, x, y, t0, t;
+  fe_mul(den_x, r, u2);
+  fe_mul(den_y, r, den_x); fe_mul(den_y, den_y, v);
   fe_add(t0, s, s); fe_carry(t0);
   fe_mul(x, t0, den_x);
   Fe xa; fe_abs(xa, x); x = xa;
   fe_mul(y, u1, den_y);
   fe_mul(t, x, y);
   if (!was_square || fe_is_negative(t) || fe_is_zero(y)) return false;
-  r.X = x; r.Y = y; r.Z = FE_ONE; r.T = t;
+  g.X = x; g.Y = y; g.Z = FE_ONE; g.T = t;
   return true;
+}
+
+static inline bool rist_decode(Ge& r, const uint8_t in[32]) {
+  Fe s, u1, u2, v, vu;
+  if (!rist_decode_prep(in, s, u1, u2, v, vu)) return false;
+  Fe v3, v7, t, rr;
+  fe_sq(v3, vu); fe_mul(v3, v3, vu);
+  fe_sq(v7, v3); fe_mul(v7, v7, vu);
+  fe_pow22523(t, v7);
+  fe_mul(rr, t, v3);
+  return rist_decode_finish(s, u1, u2, v, vu, rr, r);
 }
 
 // RFC 9496 MAP (one Elligator2 evaluation); mirrors _elligator_map

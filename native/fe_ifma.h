@@ -293,6 +293,64 @@ static inline void p8_add(P8& out, const P8& p, const P8& q) {
   fe8_mul(out.c, u8, v8);
 }
 
+// -- element-parallel helpers (4 DIFFERENT field elements in the lanes,
+// as opposed to the coordinate-parallel point layout above).  Used to
+// batch the decode invsqrt exponentiation 4 points at a time.
+
+static inline Fe4 fe4_from4(const Fe& a, const Fe& b, const Fe& c,
+                            const Fe& d) {
+  Fe4 r;
+  for (int i = 0; i < 5; ++i)
+    r.v[i] = _mm256_set_epi64x((long long)d.v[i], (long long)c.v[i],
+                               (long long)b.v[i], (long long)a.v[i]);
+  return r;
+}
+
+static inline void fe4_to4(const Fe4& x, Fe& a, Fe& b, Fe& c, Fe& d) {
+  alignas(32) u64 buf[5][4];
+  for (int i = 0; i < 5; ++i)
+    _mm256_store_si256((__m256i*)buf[i], x.v[i]);
+  for (int i = 0; i < 5; ++i) {
+    a.v[i] = buf[i][0];
+    b.v[i] = buf[i][1];
+    c.v[i] = buf[i][2];
+    d.v[i] = buf[i][3];
+  }
+  fe255::fe_carry(a);
+  fe255::fe_carry(b);
+  fe255::fe_carry(c);
+  fe255::fe_carry(d);
+}
+
+static inline void fe4_sq(Fe4& r, const Fe4& a) { fe4_mul(r, a, a); }
+
+// lane-parallel z^(2^252 - 3); mirrors fe255::fe_pow22523
+static inline void fe4_pow22523(Fe4& out, const Fe4& z) {
+  Fe4 t0, t1, t2;
+  fe4_sq(t0, z);
+  fe4_sq(t1, t0); fe4_sq(t1, t1);
+  fe4_mul(t1, z, t1);
+  fe4_mul(t0, t0, t1);
+  fe4_sq(t0, t0);
+  fe4_mul(t0, t1, t0);
+  fe4_sq(t1, t0); for (int i = 1; i < 5; ++i) fe4_sq(t1, t1);
+  fe4_mul(t0, t1, t0);
+  fe4_sq(t1, t0); for (int i = 1; i < 10; ++i) fe4_sq(t1, t1);
+  fe4_mul(t1, t1, t0);
+  fe4_sq(t2, t1); for (int i = 1; i < 20; ++i) fe4_sq(t2, t2);
+  fe4_mul(t1, t2, t1);
+  fe4_sq(t1, t1); for (int i = 1; i < 10; ++i) fe4_sq(t1, t1);
+  fe4_mul(t0, t1, t0);
+  fe4_sq(t1, t0); for (int i = 1; i < 50; ++i) fe4_sq(t1, t1);
+  fe4_mul(t1, t1, t0);
+  fe4_sq(t2, t1); for (int i = 1; i < 100; ++i) fe4_sq(t2, t2);
+  fe4_mul(t1, t2, t1);
+  fe4_sq(t1, t1); for (int i = 1; i < 50; ++i) fe4_sq(t1, t1);
+  fe4_mul(t0, t1, t0);
+  fe4_sq(t0, t0); fe4_sq(t0, t0);
+  fe4_mul(out, t0, z);
+}
+
 static inline P8 p8_pack(const P4& a, const P4& b) {
   P8 r;
   for (int i = 0; i < 5; ++i)

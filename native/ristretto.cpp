@@ -30,6 +30,8 @@ int rist_msm_ct_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
 int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
                          const uint8_t* Hs, const uint8_t blind[32],
                          const uint8_t Bb[128], uint8_t out[128]);
+int rist_batch_decompress_ifma(size_t n, const uint8_t* in, uint8_t* out,
+                               uint8_t* ok);
 
 // out = sum_i scalars[i] * points[i]; vartime bucketed Pippenger.
 void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
@@ -304,6 +306,8 @@ void rist_batch_compress(size_t n, const uint8_t* pts, uint8_t* out) {
 // returns the number of valid encodings; ok[i] in {0,1} per point
 int rist_batch_decompress(size_t n, const uint8_t* in, uint8_t* out,
                           uint8_t* ok) {
+  const int ifma = rist_batch_decompress_ifma(n, in, out, ok);
+  if (ifma >= 0) return ifma;
   Ge p;
   int good = 0;
   for (size_t i = 0; i < n; ++i) {

@@ -379,6 +379,60 @@ int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
   return 1;
 }
 
+// Batched ristretto decode with the invsqrt exponentiation running four
+// points per vector op (element-parallel Fe4 lanes); prep and finish stay
+// scalar (fe255::rist_decode_prep/finish).  Returns the number of valid
+// encodings, or -1 when the CPU lacks IFMA (caller falls back).
+int rist_batch_decompress_ifma(size_t n, const uint8_t* in, uint8_t* out,
+                               uint8_t* ok) {
+  if (!cpu_ok()) return -1;
+  int good = 0;
+  Ge g;
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    Fe s[4], u1[4], u2[4], v[4], vu[4];
+    bool pre[4];
+    for (int k = 0; k < 4; ++k) {
+      pre[k] = rist_decode_prep(in + 32 * (i + k), s[k], u1[k], u2[k],
+                                v[k], vu[k]);
+      if (!pre[k]) vu[k] = FE_ONE;  // keep the lane harmless
+    }
+    const Fe4 vu4 = fe4_from4(vu[0], vu[1], vu[2], vu[3]);
+    Fe4 v3, v7, t, r4;
+    fe4_sq(v3, vu4);
+    fe4_mul(v3, v3, vu4);
+    fe4_sq(v7, v3);
+    fe4_mul(v7, v7, vu4);
+    fe4_pow22523(t, v7);
+    fe4_mul(r4, t, v3);
+    Fe rr[4];
+    fe4_to4(r4, rr[0], rr[1], rr[2], rr[3]);
+    for (int k = 0; k < 4; ++k) {
+      bool okk = pre[k] && rist_decode_finish(s[k], u1[k], u2[k], v[k],
+                                              vu[k], rr[k], g);
+      if (okk) {
+        ge_to_ext_bytes(out + 128 * (i + k), g);
+        ok[i + k] = 1;
+        ++good;
+      } else {
+        ge_to_ext_bytes(out + 128 * (i + k), GE_IDENTITY);
+        ok[i + k] = 0;
+      }
+    }
+  }
+  for (; i < n; ++i) {
+    if (rist_decode(g, in + 32 * i)) {
+      ge_to_ext_bytes(out + 128 * i, g);
+      ok[i] = 1;
+      ++good;
+    } else {
+      ge_to_ext_bytes(out + 128 * i, GE_IDENTITY);
+      ok[i] = 0;
+    }
+  }
+  return good;
+}
+
 }  // extern "C"
 
 #else  // no IFMA at compile time: stubs that force the scalar fallback
@@ -394,6 +448,9 @@ int rist_msm_ct_ifma(size_t, const uint8_t*, const uint8_t*, uint8_t*) {
 int rist_bit_commit_ifma(size_t, uint64_t, const uint8_t*, const uint8_t*,
                          const uint8_t*, const uint8_t*, uint8_t*) {
   return 0;
+}
+int rist_batch_decompress_ifma(size_t, const uint8_t*, uint8_t*, uint8_t*) {
+  return -1;
 }
 }
 
