@@ -351,6 +351,56 @@ static inline void fe4_pow22523(Fe4& out, const Fe4& z) {
   fe4_mul(out, t0, z);
 }
 
+// 8-element variants (512-bit lanes) for the decode invsqrt batch
+static inline Fe8 fe8_from8(const Fe* e) {
+  Fe8 r;
+  for (int i = 0; i < 5; ++i)
+    r.v[i] = _mm512_set_epi64(
+        (long long)e[7].v[i], (long long)e[6].v[i], (long long)e[5].v[i],
+        (long long)e[4].v[i], (long long)e[3].v[i], (long long)e[2].v[i],
+        (long long)e[1].v[i], (long long)e[0].v[i]);
+  return r;
+}
+
+static inline void fe8_to8(const Fe8& x, Fe* e) {
+  alignas(64) u64 buf[5][8];
+  for (int i = 0; i < 5; ++i)
+    _mm512_store_si512((__m512i*)buf[i], x.v[i]);
+  for (int k = 0; k < 8; ++k) {
+    for (int i = 0; i < 5; ++i) e[k].v[i] = buf[i][k];
+    fe255::fe_carry(e[k]);
+  }
+}
+
+static inline void fe8_sq(Fe8& r, const Fe8& a) { fe8_mul(r, a, a); }
+
+// lane-parallel z^(2^252 - 3); mirrors fe255::fe_pow22523
+static inline void fe8_pow22523(Fe8& out, const Fe8& z) {
+  Fe8 t0, t1, t2;
+  fe8_sq(t0, z);
+  fe8_sq(t1, t0); fe8_sq(t1, t1);
+  fe8_mul(t1, z, t1);
+  fe8_mul(t0, t0, t1);
+  fe8_sq(t0, t0);
+  fe8_mul(t0, t1, t0);
+  fe8_sq(t1, t0); for (int i = 1; i < 5; ++i) fe8_sq(t1, t1);
+  fe8_mul(t0, t1, t0);
+  fe8_sq(t1, t0); for (int i = 1; i < 10; ++i) fe8_sq(t1, t1);
+  fe8_mul(t1, t1, t0);
+  fe8_sq(t2, t1); for (int i = 1; i < 20; ++i) fe8_sq(t2, t2);
+  fe8_mul(t1, t2, t1);
+  fe8_sq(t1, t1); for (int i = 1; i < 10; ++i) fe8_sq(t1, t1);
+  fe8_mul(t0, t1, t0);
+  fe8_sq(t1, t0); for (int i = 1; i < 50; ++i) fe8_sq(t1, t1);
+  fe8_mul(t1, t1, t0);
+  fe8_sq(t2, t1); for (int i = 1; i < 100; ++i) fe8_sq(t2, t2);
+  fe8_mul(t1, t2, t1);
+  fe8_sq(t1, t1); for (int i = 1; i < 50; ++i) fe8_sq(t1, t1);
+  fe8_mul(t0, t1, t0);
+  fe8_sq(t0, t0); fe8_sq(t0, t0);
+  fe8_mul(out, t0, z);
+}
+
 static inline P8 p8_pack(const P4& a, const P4& b) {
   P8 r;
   for (int i = 0; i < 5; ++i)

@@ -389,25 +389,25 @@ int rist_batch_decompress_ifma(size_t n, const uint8_t* in, uint8_t* out,
   int good = 0;
   Ge g;
   size_t i = 0;
-  for (; i + 4 <= n; i += 4) {
-    Fe s[4], u1[4], u2[4], v[4], vu[4];
-    bool pre[4];
-    for (int k = 0; k < 4; ++k) {
+  for (; i + 8 <= n; i += 8) {
+    Fe s[8], u1[8], u2[8], v[8], vu[8];
+    bool pre[8];
+    for (int k = 0; k < 8; ++k) {
       pre[k] = rist_decode_prep(in + 32 * (i + k), s[k], u1[k], u2[k],
                                 v[k], vu[k]);
       if (!pre[k]) vu[k] = FE_ONE;  // keep the lane harmless
     }
-    const Fe4 vu4 = fe4_from4(vu[0], vu[1], vu[2], vu[3]);
-    Fe4 v3, v7, t, r4;
-    fe4_sq(v3, vu4);
-    fe4_mul(v3, v3, vu4);
-    fe4_sq(v7, v3);
-    fe4_mul(v7, v7, vu4);
-    fe4_pow22523(t, v7);
-    fe4_mul(r4, t, v3);
-    Fe rr[4];
-    fe4_to4(r4, rr[0], rr[1], rr[2], rr[3]);
-    for (int k = 0; k < 4; ++k) {
+    const Fe8 vu8 = fe8_from8(vu);
+    Fe8 v3, v7, t, r8;
+    fe8_sq(v3, vu8);
+    fe8_mul(v3, v3, vu8);
+    fe8_sq(v7, v3);
+    fe8_mul(v7, v7, vu8);
+    fe8_pow22523(t, v7);
+    fe8_mul(r8, t, v3);
+    Fe rr[8];
+    fe8_to8(r8, rr);
+    for (int k = 0; k < 8; ++k) {
       bool okk = pre[k] && rist_decode_finish(s[k], u1[k], u2[k], v[k],
                                               vu[k], rr[k], g);
       if (okk) {
