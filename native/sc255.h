@@ -199,6 +199,14 @@ extern "C" {
 void strobe_meta_ad(Strobe* s, const uint8_t* data, size_t len, int more);
 void strobe_ad(Strobe* s, const uint8_t* data, size_t len, int more);
 void strobe_prf(Strobe* s, uint8_t* out, size_t len, int more);
+// lane-pooled batched variants (transcript.cpp): k <= 8 transcripts run
+// the same op; permutations pool into one 8-way Keccak pass
+void strobe_meta_ad_x(int k, Strobe* const* ss, const uint8_t* const* data,
+                      size_t len, int more);
+void strobe_ad_x(int k, Strobe* const* ss, const uint8_t* const* data,
+                 size_t len, int more);
+void strobe_prf_x(int k, Strobe* const* ss, uint8_t* const* out, size_t len,
+                  int more);
 }
 
 static void t_append(Strobe* s, const char* label, size_t label_len,
@@ -223,6 +231,44 @@ static void t_challenge(Strobe* s, const char* label, size_t label_len, Sc* out)
   uint8_t buf[64];
   strobe_prf(s, buf, 64, 0);
   sc_from_wide(*out, buf);
+}
+
+// batched t_* helpers: shared label/length, per-lane message pointers
+static void t_append_x(int k, Strobe* const* ss, const char* label,
+                       size_t label_len, const uint8_t* const* msgs,
+                       size_t msg_len) {
+  uint8_t len_le[4] = {(uint8_t)(msg_len), (uint8_t)(msg_len >> 8),
+                       (uint8_t)(msg_len >> 16), (uint8_t)(msg_len >> 24)};
+  const uint8_t* shared[8];
+  for (int l = 0; l < k; ++l) shared[l] = (const uint8_t*)label;
+  strobe_meta_ad_x(k, ss, shared, label_len, 0);
+  for (int l = 0; l < k; ++l) shared[l] = len_le;
+  strobe_meta_ad_x(k, ss, shared, 4, 1);
+  strobe_ad_x(k, ss, msgs, msg_len, 0);
+}
+
+static void t_append_u64_x(int k, Strobe* const* ss, const char* label,
+                           size_t label_len, u64 x) {
+  uint8_t le[8];
+  for (int i = 0; i < 8; ++i) le[i] = (uint8_t)(x >> (8 * i));
+  const uint8_t* msgs[8];
+  for (int l = 0; l < k; ++l) msgs[l] = le;
+  t_append_x(k, ss, label, label_len, msgs, 8);
+}
+
+static void t_challenge_x(int k, Strobe* const* ss, const char* label,
+                          size_t label_len, Sc* const* outs) {
+  uint8_t len_le[4] = {64, 0, 0, 0};
+  const uint8_t* shared[8];
+  for (int l = 0; l < k; ++l) shared[l] = (const uint8_t*)label;
+  strobe_meta_ad_x(k, ss, shared, label_len, 0);
+  for (int l = 0; l < k; ++l) shared[l] = len_le;
+  strobe_meta_ad_x(k, ss, shared, 4, 1);
+  uint8_t bufs[8][64];
+  uint8_t* outs_b[8];
+  for (int l = 0; l < k; ++l) outs_b[l] = bufs[l];
+  strobe_prf_x(k, ss, outs_b, 64, 0);
+  for (int l = 0; l < k; ++l) sc_from_wide(*outs[l], bufs[l]);
 }
 
 static bool is_zero32(const uint8_t* p) {

@@ -12,6 +12,10 @@
 #include <cstring>
 #include <cstddef>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr uint64_t RC[24] = {
@@ -117,9 +121,174 @@ void begin_op(Strobe* s, uint8_t flags, int more) {
   if ((flags & (FLAG_C | FLAG_K)) && s->pos != 0) run_f(s);
 }
 
+// ---- lane-pooled batched ops ------------------------------------------
+// Batched verification/proving replays many independent transcripts
+// through an IDENTICAL op schedule, so their permutations mostly align;
+// per-byte sponge work stays scalar (cheap) and the Keccak-f permutations
+// pool into one 8-way AVX-512 pass when available.
+
+#if defined(__AVX512F__)
+bool avx512_ok() {
+  static const bool ok = __builtin_cpu_supports("avx512f");
+  return ok;
+}
+
+// 8 independent Keccak-f[1600] states: st[word][lane]
+void f1600_x8(uint64_t st[25][8]) {
+  __m512i a[25];
+  for (int i = 0; i < 25; ++i)
+    a[i] = _mm512_loadu_si512((const void*)st[i]);
+  const __m512i one = _mm512_set1_epi64(1);
+  for (int rnd = 0; rnd < 24; ++rnd) {
+    __m512i c[5], d[5];
+    for (int x = 0; x < 5; ++x)
+      c[x] = _mm512_xor_si512(
+          _mm512_xor_si512(_mm512_xor_si512(a[x], a[x + 5]), a[x + 10]),
+          _mm512_xor_si512(a[x + 15], a[x + 20]));
+    for (int x = 0; x < 5; ++x)
+      d[x] = _mm512_xor_si512(c[(x + 4) % 5],
+                              _mm512_rolv_epi64(c[(x + 1) % 5], one));
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        a[x + 5 * y] = _mm512_xor_si512(a[x + 5 * y], d[x]);
+    __m512i b[25];
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] =
+            _mm512_rolv_epi64(a[x + 5 * y], _mm512_set1_epi64(ROT[x][y]));
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        a[x + 5 * y] = _mm512_xor_si512(
+            b[x + 5 * y],
+            _mm512_andnot_si512(b[(x + 1) % 5 + 5 * y],
+                                b[(x + 2) % 5 + 5 * y]));
+    a[0] = _mm512_xor_si512(a[0], _mm512_set1_epi64((long long)RC[rnd]));
+  }
+  for (int i = 0; i < 25; ++i)
+    _mm512_storeu_si512((void*)st[i], a[i]);
+}
+#endif
+
+// permute np pending lanes together (np <= 8); replicates run_f per lane
+void pool_run_f(Strobe* const* pend, int np) {
+#if defined(__AVX512F__)
+  if (np >= 2 && avx512_ok()) {
+    uint64_t st[25][8];
+    uint64_t lanes[25];
+    for (int l = 0; l < np; ++l) {
+      Strobe* s = pend[l];
+      s->state[s->pos] ^= s->pos_begin;
+      s->state[s->pos + 1] ^= 0x04;
+      s->state[STROBE_R + 1] ^= 0x80;
+      std::memcpy(lanes, s->state, 200);
+      for (int i = 0; i < 25; ++i) st[i][l] = lanes[i];
+    }
+    for (int l = np; l < 8; ++l)
+      for (int i = 0; i < 25; ++i) st[i][l] = 0;
+    f1600_x8(st);
+    for (int l = 0; l < np; ++l) {
+      for (int i = 0; i < 25; ++i) lanes[i] = st[i][l];
+      std::memcpy(pend[l]->state, lanes, 200);
+      pend[l]->pos = 0;
+      pend[l]->pos_begin = 0;
+    }
+    return;
+  }
+#endif
+  for (int l = 0; l < np; ++l) run_f(pend[l]);
+}
+
+// absorb the same-length message into k lanes, pooling permutations;
+// handles divergent lane positions (e.g. different-length labels)
+void absorb_x(int k, Strobe* const* ss, const uint8_t* const* data,
+              size_t len) {
+  size_t done[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (;;) {
+    Strobe* pend[8];
+    int np = 0;
+    bool all_done = true;
+    for (int l = 0; l < k; ++l) {
+      Strobe* s = ss[l];
+      size_t d = done[l];
+      while (d < len && s->pos < STROBE_R) {
+        s->state[s->pos] ^= data[l][d];
+        ++s->pos;
+        ++d;
+      }
+      done[l] = d;
+      if (s->pos == STROBE_R) pend[np++] = s;
+      if (d < len) all_done = false;
+    }
+    if (np) pool_run_f(pend, np);
+    else if (all_done) break;
+  }
+}
+
+void squeeze_x(int k, Strobe* const* ss, uint8_t* const* out, size_t len) {
+  size_t done[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (;;) {
+    Strobe* pend[8];
+    int np = 0;
+    bool all_done = true;
+    for (int l = 0; l < k; ++l) {
+      Strobe* s = ss[l];
+      size_t d = done[l];
+      while (d < len && s->pos < STROBE_R) {
+        out[l][d] = s->state[s->pos];
+        s->state[s->pos] = 0;
+        ++s->pos;
+        ++d;
+      }
+      done[l] = d;
+      if (s->pos == STROBE_R) pend[np++] = s;
+      if (d < len) all_done = false;
+    }
+    if (np) pool_run_f(pend, np);
+    else if (all_done) break;
+  }
+}
+
+void begin_op_x(int k, Strobe* const* ss, uint8_t flags) {
+  uint8_t hdrs[8][2];
+  const uint8_t* ptrs[8];
+  for (int l = 0; l < k; ++l) {
+    hdrs[l][0] = ss[l]->pos_begin;
+    hdrs[l][1] = flags;
+    ss[l]->pos_begin = ss[l]->pos + 1;
+    ss[l]->cur_flags = flags;
+    ptrs[l] = hdrs[l];
+  }
+  absorb_x(k, ss, ptrs, 2);
+  if (flags & (FLAG_C | FLAG_K)) {
+    Strobe* pend[8];
+    int np = 0;
+    for (int l = 0; l < k; ++l)
+      if (ss[l]->pos != 0) pend[np++] = ss[l];
+    if (np) pool_run_f(pend, np);
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+void strobe_meta_ad_x(int k, Strobe* const* ss, const uint8_t* const* data,
+                      size_t len, int more) {
+  if (!more) begin_op_x(k, ss, FLAG_M | FLAG_A);
+  absorb_x(k, ss, data, len);
+}
+
+void strobe_ad_x(int k, Strobe* const* ss, const uint8_t* const* data,
+                 size_t len, int more) {
+  if (!more) begin_op_x(k, ss, FLAG_A);
+  absorb_x(k, ss, data, len);
+}
+
+void strobe_prf_x(int k, Strobe* const* ss, uint8_t* const* out, size_t len,
+                  int more) {
+  if (!more) begin_op_x(k, ss, FLAG_I | FLAG_A | FLAG_C);
+  squeeze_x(k, ss, out, len);
+}
 
 void keccak_f1600(uint8_t* state200) {
   uint64_t lanes[25];

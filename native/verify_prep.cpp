@@ -89,6 +89,90 @@ int vprep_replay(Strobe* strobe, const uint8_t* proof, size_t proof_len,
   return 0;
 }
 
+// Lockstep replay of up to 8 proofs sharing (n, m): identical op schedule,
+// so the Keccak permutations pool into 8-way passes (transcript.cpp).
+// Point-validity (nonzero A/S/T1/T2/L/R) must be prechecked by the caller.
+void vprep_replay_x(int k, Strobe* const* strobes, const uint8_t* proofs,
+                    size_t proof_len, const uint8_t* vcs, u64 n, u64 m,
+                    const uint8_t* cr_wides, int lg, VPrepState* sts) {
+  const uint8_t* P[8];
+  const uint8_t* msgs[8];
+  Sc* outs[8];
+  for (int l = 0; l < k; ++l) P[l] = proofs + proof_len * (size_t)l;
+
+  for (int l = 0; l < k; ++l) msgs[l] = (const uint8_t*)"rangeproof v1";
+  t_append_x(k, strobes, "dom-sep", 7, msgs, 13);
+  t_append_u64_x(k, strobes, "n", 1, n);
+  t_append_u64_x(k, strobes, "m", 1, m);
+  for (u64 j = 0; j < m; ++j) {
+    for (int l = 0; l < k; ++l) msgs[l] = vcs + 32 * (m * (u64)l + j);
+    t_append_x(k, strobes, "V", 1, msgs, 32);
+  }
+  for (int l = 0; l < k; ++l) msgs[l] = P[l];
+  t_append_x(k, strobes, "A", 1, msgs, 32);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 32;
+  t_append_x(k, strobes, "S", 1, msgs, 32);
+  for (int l = 0; l < k; ++l) outs[l] = &sts[l].y;
+  t_challenge_x(k, strobes, "y", 1, outs);
+  for (int l = 0; l < k; ++l) outs[l] = &sts[l].z;
+  t_challenge_x(k, strobes, "z", 1, outs);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 64;
+  t_append_x(k, strobes, "T_1", 3, msgs, 32);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 96;
+  t_append_x(k, strobes, "T_2", 3, msgs, 32);
+  for (int l = 0; l < k; ++l) outs[l] = &sts[l].x;
+  t_challenge_x(k, strobes, "x", 1, outs);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 128;
+  t_append_x(k, strobes, "t_x", 3, msgs, 32);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 160;
+  t_append_x(k, strobes, "t_x_blinding", 12, msgs, 32);
+  for (int l = 0; l < k; ++l) msgs[l] = P[l] + 192;
+  t_append_x(k, strobes, "e_blinding", 10, msgs, 32);
+  for (int l = 0; l < k; ++l) outs[l] = &sts[l].w;
+  t_challenge_x(k, strobes, "w", 1, outs);
+
+  for (int l = 0; l < k; ++l) {
+    sc_from_wide(sts[l].c, cr_wides + 128 * (size_t)l);
+    sc_from_wide(sts[l].rw, cr_wides + 128 * (size_t)l + 64);
+  }
+
+  for (int l = 0; l < k; ++l) msgs[l] = (const uint8_t*)"ipp v1";
+  t_append_x(k, strobes, "dom-sep", 7, msgs, 6);
+  t_append_u64_x(k, strobes, "n", 1, n * m);
+  for (int i = 0; i < lg; ++i) {
+    for (int l = 0; l < k; ++l) msgs[l] = P[l] + 224 + 64 * (size_t)i;
+    t_append_x(k, strobes, "L", 1, msgs, 32);
+    for (int l = 0; l < k; ++l) msgs[l] = P[l] + 224 + 64 * (size_t)i + 32;
+    t_append_x(k, strobes, "R", 1, msgs, 32);
+    for (int l = 0; l < k; ++l) outs[l] = &sts[l].u[i];
+    t_challenge_x(k, strobes, "u", 1, outs);
+  }
+
+  for (int l = 0; l < k; ++l) {
+    const uint8_t* ab = P[l] + 224 + 64 * (size_t)lg;
+    std::memcpy(sts[l].t_x.v, P[l] + 128, 32);
+    std::memcpy(sts[l].t_x_blinding.v, P[l] + 160, 32);
+    std::memcpy(sts[l].e_blinding.v, P[l] + 192, 32);
+    std::memcpy(sts[l].a.v, ab, 32);
+    std::memcpy(sts[l].b.v, ab + 32, 32);
+    sts[l].prod = {{1, 0, 0, 0}};
+    for (int i = 0; i < lg; ++i) sc_mul(sts[l].prod, sts[l].prod, sts[l].u[i]);
+    sc_mul(sts[l].prod_y, sts[l].prod, sts[l].y);
+  }
+}
+
+// validity precheck shared by the lockstep batch paths: nonzero
+// A/S/T1/T2/L/R (the scalar replay's return-3 conditions)
+static int vprep_precheck(const uint8_t* proof, int lg) {
+  if (is_zero32(proof) || is_zero32(proof + 32)) return 3;
+  if (is_zero32(proof + 64) || is_zero32(proof + 96)) return 3;
+  for (int i = 0; i < lg; ++i) {
+    const uint8_t* Li = proof + 224 + 64 * (size_t)i;
+    if (is_zero32(Li) || is_zero32(Li + 32)) return 3;
+  }
+  return 0;
+}
+
 // Verification scalars, given st.prod_y_inv = (prod(u) * y)^-1.
 void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
                 uint8_t* dyn_scalars, uint8_t* static_acc) {
@@ -320,15 +404,18 @@ int rangeproof_verify_prep_batch(uint8_t* strobes, size_t strobe_stride,
   const size_t dyn_sz = 32 * (4 + 2 * (size_t)lg + m);
 
   VPrepState* sts = new VPrepState[count];
-  for (u64 i = 0; i < count; ++i) {
-    int rc = vprep_replay((Strobe*)(strobes + i * strobe_stride),
-                          proofs + i * proof_len, proof_len, vcs + i * 32 * m,
-                          n, m, cr_wides + i * 128, cr_wides + i * 128 + 64,
-                          lg, sts[i]);
-    if (rc != 0) {
+  for (u64 i = 0; i < count; ++i)
+    if (vprep_precheck(proofs + i * proof_len, lg) != 0) {
       delete[] sts;
       return 100 + (int)i;
     }
+  for (u64 i = 0; i < count; i += 8) {
+    const int k = (int)(count - i < 8 ? count - i : 8);
+    Strobe* ss[8];
+    for (int l = 0; l < k; ++l)
+      ss[l] = (Strobe*)(strobes + (i + l) * strobe_stride);
+    vprep_replay_x(k, ss, proofs + i * proof_len, proof_len,
+                   vcs + i * 32 * m, n, m, cr_wides + i * 128, lg, sts + i);
   }
 
   // Montgomery batch inversion of all prod_y values: prefix products, one
@@ -394,15 +481,18 @@ int rangeproof_verify_replay_batch(uint8_t* strobes, size_t strobe_stride,
   const size_t blk_sz = 32 * (2 * (size_t)lg + 9);
 
   VPrepState* sts = new VPrepState[count];
-  for (u64 i = 0; i < count; ++i) {
-    int rc = vprep_replay((Strobe*)(strobes + i * strobe_stride),
-                          proofs + i * proof_len, proof_len, vcs + i * 32 * m,
-                          n, m, cr_wides + i * 128, cr_wides + i * 128 + 64,
-                          lg, sts[i]);
-    if (rc != 0) {
+  for (u64 i = 0; i < count; ++i)
+    if (vprep_precheck(proofs + i * proof_len, lg) != 0) {
       delete[] sts;
       return 100 + (int)i;
     }
+  for (u64 i = 0; i < count; i += 8) {
+    const int k = (int)(count - i < 8 ? count - i : 8);
+    Strobe* ss[8];
+    for (int l = 0; l < k; ++l)
+      ss[l] = (Strobe*)(strobes + (i + l) * strobe_stride);
+    vprep_replay_x(k, ss, proofs + i * proof_len, proof_len,
+                   vcs + i * 32 * m, n, m, cr_wides + i * 128, lg, sts + i);
   }
 
   // shared Montgomery batch inversion of prod(u)*y across all proofs
