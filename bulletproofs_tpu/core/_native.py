@@ -68,6 +68,9 @@ def _load():
         lib.rist_msm_rows.argtypes = [sz, sz, ctypes.c_char_p,
                                       ctypes.c_char_p, ctypes.c_char_p]
         lib.rist_msm_rows.restype = None
+        lib.rist_msm_rows_ct.argtypes = [sz, sz, ctypes.c_char_p,
+                                         ctypes.c_char_p, ctypes.c_char_p]
+        lib.rist_msm_rows_ct.restype = None
         lib.rist_batch_compress.argtypes = [sz, ctypes.c_char_p,
                                             ctypes.c_char_p]
         lib.rist_batch_compress.restype = None

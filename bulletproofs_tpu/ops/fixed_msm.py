@@ -385,18 +385,25 @@ def msm_rows_compressed(tables: FixedBaseTables, coef_bytes: np.ndarray,
     Off-TPU this compresses with the native curve backend directly --
     routing through compress_to_bytes would JIT the device compression
     kernel on the CPU backend (~45 s cold) for no benefit."""
+    consttime = kw.pop("consttime", False)
     if not _on_tpu():
         from ..core import ristretto as R
         if R._NATIVE is not None:
             # one C call for all rows over the shared packed basis, one for
-            # the batch compression -- no per-row Python object churn
+            # the batch compression -- no per-row Python object churn.
+            # consttime=True routes witness-bearing rows (V/A/S, T1/T2
+            # coefficients) through the paired consttime Straus, matching
+            # the reference's MultiscalarMul usage; the device path is
+            # constant-access-pattern by construction, so the flag only
+            # affects this host fallback.
             import ctypes as _ct
             q = coef_bytes.shape[0]
             out = _ct.create_string_buffer(128 * q)
-            R._NATIVE.rist_msm_rows(
-                q, tables.num_bases,
-                np.ascontiguousarray(coef_bytes).tobytes(),
-                tables.ensure_host_packed(), out)
+            fn = (R._NATIVE.rist_msm_rows_ct if consttime
+                  else R._NATIVE.rist_msm_rows)
+            fn(q, tables.num_bases,
+               np.ascontiguousarray(coef_bytes).tobytes(),
+               tables.ensure_host_packed(), out)
             comp = _ct.create_string_buffer(32 * q)
             R._NATIVE.rist_batch_compress(q, out, comp)
             return np.frombuffer(comp.raw, np.uint8).reshape(q, 32).copy()

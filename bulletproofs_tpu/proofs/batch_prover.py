@@ -352,7 +352,10 @@ class BatchProver:
             ctypes.c_uint64(count), ctypes.c_uint64(n), vals, vblind, rand0,
             state, coef0.ctypes.data_as(ctypes.c_char_p))
         assert rc == 0
-        vas = fixed_msm.msm_rows_compressed(self.tables, coef0)
+        # V/A/S coefficients carry the witness (values, bits, blinds):
+        # consttime rows, as the reference's MultiscalarMul would be
+        vas = fixed_msm.msm_rows_compressed(self.tables, coef0,
+                                            consttime=True)
 
         # stage 1: y, z; l/r polys; T1/T2 coefficients
         rand1 = rng.randbytes(count * 128)
@@ -362,7 +365,9 @@ class BatchProver:
             ctypes.c_size_t(strobe_size), vas.tobytes(), rand1, state,
             coef1.ctypes.data_as(ctypes.c_char_p))
         assert rc == 0
-        tb = fixed_msm.msm_rows_compressed(self.tables_bb, coef1)
+        # T1/T2 coefficients are the secret t-polynomial: consttime rows
+        tb = fixed_msm.msm_rows_compressed(self.tables_bb, coef1,
+                                           consttime=True)
 
         # stage 2: x; share scalars; w; IPP init
         rc = _NATIVE.rp_prove_stage2(

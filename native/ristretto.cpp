@@ -295,6 +295,15 @@ void rist_msm_rows(size_t q, size_t n, const uint8_t* scalars,
     rist_msm(n, scalars + 32 * n * r, points, out + 128 * r);
 }
 
+// Consttime variant of rist_msm_rows: witness-bearing coefficient rows
+// (the batch prover's V/A/S and T1/T2 stages; the reference uses
+// MultiscalarMul for these) run the paired consttime Straus per row.
+void rist_msm_rows_ct(size_t q, size_t n, const uint8_t* scalars,
+                      const uint8_t* points, uint8_t* out) {
+  for (size_t r = 0; r < q; ++r)
+    rist_msm_ct(n, scalars + 32 * n * r, points, out + 128 * r);
+}
+
 void rist_batch_compress(size_t n, const uint8_t* pts, uint8_t* out) {
   Ge p;
   for (size_t i = 0; i < n; ++i) {
