@@ -84,6 +84,8 @@ def _load():
             fn.restype = None
         lib.sc_vec_batch_invert.argtypes = [sz, ctypes.c_char_p]
         lib.sc_vec_batch_invert.restype = None
+        lib.sc_invert1.argtypes = [ctypes.c_char_p] * 2
+        lib.sc_invert1.restype = None
         lib.ipp_round_scalars.argtypes = [sz, sz] + [ctypes.c_char_p] * 8
         lib.ipp_round_scalars.restype = None
         lib.ipp_fold.argtypes = [sz, sz] + [ctypes.c_char_p] * 6

@@ -86,6 +86,12 @@ class Scalar:
         return f"Scalar({self.v:#x})"
 
     def invert(self) -> "Scalar":
+        from ._native import LIB as _N
+        if _N is not None:
+            import ctypes
+            out = ctypes.create_string_buffer(32)
+            _N.sc_invert1(self.v.to_bytes(32, "little"), out)
+            return Scalar(int.from_bytes(out.raw, "little"))
         return Scalar(pow(self.v, L - 2, L))
 
     def is_zero(self) -> bool:
@@ -103,7 +109,7 @@ def batch_invert(xs: list) -> "Scalar":
     prefix = [1] * (n + 1)
     for i, x in enumerate(xs):
         prefix[i + 1] = prefix[i] * x.v % L
-    allinv = pow(prefix[n], L - 2, L)
+    allinv = Scalar(prefix[n] % L).invert().v
     acc = allinv
     for i in range(n - 1, -1, -1):
         orig = xs[i].v

@@ -63,6 +63,14 @@ void sc_powers(size_t n, const uint8_t x[32], uint8_t* out) {
   }
 }
 
+// single Fermat inversion (used by Scalar.invert on the host path)
+void sc_invert1(const uint8_t in[32], uint8_t out[32]) {
+  Sc x, r;
+  std::memcpy(x.v, in, 32);
+  sc_invert(r, x);
+  std::memcpy(out, r.v, 32);
+}
+
 // in-place Montgomery batch inversion (reference Scalar::batch_invert)
 void sc_vec_batch_invert(size_t n, uint8_t* a) {
   if (n == 0) return;
