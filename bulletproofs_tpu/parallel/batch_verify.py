@@ -482,3 +482,26 @@ class _SystemRandom:
     @staticmethod
     def randbytes(n: int) -> bytes:
         return secrets.token_bytes(n)
+
+# -- one-shot host verification reusing the fused C++ path -------------------
+
+import weakref
+
+_HOST_CTX = weakref.WeakKeyDictionary()
+
+
+def host_verify_one(proof, bp_gens, pc_gens, transcript,
+                    value_commitments, n, rng):
+    """Verify ONE (possibly aggregated) range proof entirely in C++ --
+    transcript replay, batch decompression, one Pippenger MSM -- reusing
+    the batch verifier machinery with a cached per-generators context.
+    Called by RangeProof.verify_multiple's off-TPU fast path."""
+    m = len(value_commitments)
+    per_gens = _HOST_CTX.get(bp_gens)
+    if per_gens is None:
+        per_gens = _HOST_CTX[bp_gens] = {}
+    bv = per_gens.get((n, m))
+    if bv is None or bv.pc_gens is not pc_gens:
+        bv = BatchVerifier(bp_gens, pc_gens, n=n, m=m, prefer_host=True)
+        per_gens[(n, m)] = bv
+    bv.verify_batch([proof], [value_commitments], [transcript], rng=rng)

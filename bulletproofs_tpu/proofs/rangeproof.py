@@ -284,6 +284,28 @@ class RangeProof:
     def verify_multiple(self, bp_gens, pc_gens, transcript,
                         value_commitments: List[bytes], n: int,
                         rng=None, msm=None):
+        # Off-TPU fast path: one fused C++ call (transcript replay, batch
+        # decompression, single Pippenger MSM) shared with the batch
+        # verifier.  Falls through to the Python path when the native
+        # backend is absent, a custom msm is injected, or the transcript
+        # is not native-backed.
+        if msm is None:
+            from ..core.ristretto import _NATIVE
+            m = len(value_commitments)
+            if (_NATIVE is not None
+                    and n in (8, 16, 32, 64)
+                    and m >= 1 and (m & (m - 1)) == 0
+                    and bp_gens.gens_capacity >= n
+                    and bp_gens.party_capacity >= m
+                    and hasattr(transcript.strobe, "buf")):
+                from ..ops.vec_msm import on_tpu
+                if not on_tpu():
+                    from ..parallel.batch_verify import host_verify_one
+                    rng = rng or SystemRandom()
+                    return host_verify_one(self, bp_gens, pc_gens,
+                                           transcript, value_commitments,
+                                           n, rng)
+
         scalars, compressed, static_pts, vcs = self.verification_scalars_and_points(
             bp_gens, pc_gens, transcript, value_commitments, n, rng=rng)
 
