@@ -193,3 +193,31 @@ def test_session_types_one_shot(rng):
     party.assign_position(0, rng)
     with pytest.raises(RuntimeError):
         party.assign_position(0, rng)
+
+
+def test_single_verify_routes_through_fused_host_path(monkeypatch):
+    """Off-TPU, verify_multiple must take the all-native fused path
+    (host_verify_one); this pins the routing so a refactor cannot silently
+    fall back to the slow Python scalar streams."""
+    import secrets
+    from bulletproofs_tpu.parallel import batch_verify as BV
+    from bulletproofs_tpu import (BulletproofGens, PedersenGens, RangeProof,
+                                  Transcript, Scalar)
+
+    class Rng:
+        randbytes = staticmethod(secrets.token_bytes)
+
+    calls = []
+    orig = BV.host_verify_one
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(BV, "host_verify_one", spy)
+    rng = Rng()
+    pc, bp = PedersenGens(), BulletproofGens(8, 1)
+    p, v = RangeProof.prove_single(bp, pc, Transcript(b"route"), 3,
+                                   Scalar.random(rng), 8, rng=rng)
+    p.verify_single(bp, pc, Transcript(b"route"), v, 8, rng=rng)
+    assert calls, "fused host path was not used"
