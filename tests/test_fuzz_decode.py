@@ -79,3 +79,52 @@ def test_linear_proof_mutations_never_verify(rng):
             raise AssertionError("mutated linear proof verified")
         except ProofError:
             pass
+
+
+def test_r1cs_proof_mutations_never_verify(rng):
+    """R1CSProof has the trickiest wire format (version tag byte,
+    phase-2 identity elision, reference src/r1cs/proof.rs:70-124):
+    mutations must parse-and-fail or raise, never crash or verify."""
+    import random as _random
+    from bulletproofs_tpu.proofs.r1cs import Prover, Verifier, R1CSProof
+    from bulletproofs_tpu.core.scalar import Scalar as _S
+
+    pc = PedersenGens()
+    bp = BulletproofGens(8, 1)
+    prover = Prover(pc, Transcript(b"r1cs fuzz"))
+    c1, v1 = prover.commit(_S(3), _S.random(rng))
+    c2, v2 = prover.commit(_S(5), _S.random(rng))
+    _, _, out = prover.multiply(v1 + v2, v1 - v2)
+    prover.constrain(out + _S(16))
+    proof = prover.prove(bp, rng=rng)
+    pbytes = proof.to_bytes()
+
+    def fresh_verifier():
+        vf = Verifier(Transcript(b"r1cs fuzz"))
+        w1, w2 = vf.commit(c1), vf.commit(c2)
+        _, _, vout = vf.multiply(w1 + w2, w1 - w2)
+        vf.constrain(vout + _S(16))
+        return vf
+
+    # sanity: the untouched proof verifies
+    fresh_verifier().verify(R1CSProof.from_bytes(pbytes), pc, bp, rng=rng)
+
+    rr = _random.Random(99)
+    accepted = 0
+    for trial in range(120):
+        mutated = bytearray(pbytes)
+        for _ in range(rr.randrange(1, 4)):
+            mutated[rr.randrange(len(mutated))] ^= 1 << rr.randrange(8)
+        try:
+            fresh_verifier().verify(R1CSProof.from_bytes(bytes(mutated)),
+                                    pc, bp, rng=rng)
+            accepted += 1
+        except (ProofError, R1CSError):
+            pass
+    assert accepted == 0
+
+    for cut in (0, 1, 32, len(pbytes) - 1):
+        with pytest.raises((ProofError, R1CSError)):
+            R1CSProof.from_bytes(pbytes[:cut])
+    with pytest.raises((ProofError, R1CSError)):
+        R1CSProof.from_bytes(bytes([0xFF]) + pbytes[1:])  # bad version tag
