@@ -81,18 +81,8 @@ static void sc_neg(Sc& r, const Sc& a) {
   }
 }
 
-// 512-bit product then Barrett reduction mod L
-static void sc_mul(Sc& r, const Sc& a, const Sc& b) {
-  u64 t[8] = {0};
-  for (int i = 0; i < 4; ++i) {
-    u128 carry = 0;
-    for (int j = 0; j < 4; ++j) {
-      u128 cur = (u128)a.v[i] * b.v[j] + t[i + j] + carry;
-      t[i + j] = (u64)cur;
-      carry = cur >> 64;
-    }
-    t[i + 4] = (u64)carry;
-  }
+// Barrett reduction of a 512-bit little-endian value mod L.
+static void sc_barrett512(Sc& r, const u64 t[8]) {
   // Barrett: q = floor( floor(t / 2^192) * mu / 2^320 )  (mu = 2^512/L)
   // then r = t - q*L, with <= 2 conditional subtracts.
   // q1 = t >> 192 -> 5 limbs
@@ -145,6 +135,21 @@ static void sc_mul(Sc& r, const Sc& a, const Sc& b) {
     }
   }
   r.v[0] = rem[0]; r.v[1] = rem[1]; r.v[2] = rem[2]; r.v[3] = rem[3];
+}
+
+// 512-bit product then Barrett reduction mod L
+static void sc_mul(Sc& r, const Sc& a, const Sc& b) {
+  u64 t[8] = {0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)a.v[i] * b.v[j] + t[i + j] + carry;
+      t[i + j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    t[i + 4] = (u64)carry;
+  }
+  sc_barrett512(r, t);
 }
 
 static void sc_from_wide(Sc& r, const uint8_t wide[64]) {
@@ -271,10 +276,47 @@ static void t_challenge_x(int k, Strobe* const* ss, const char* label,
   for (int l = 0; l < k; ++l) sc_from_wide(*outs[l], bufs[l]);
 }
 
+// Shared replay state for the batched verification preps (verify_prep.cpp
+// and the vectorized emit TU verify_emit_ifma.cpp).
+constexpr int kMaxLg = 40;  // nm <= 2^40; far beyond practical proof sizes
+
+struct VPrepState {
+  Sc y, z, x, w, c, rw;
+  Sc t_x, t_x_blinding, e_blinding, a, b;
+  Sc u[kMaxLg];
+  Sc prod;        // prod_i u_i
+  Sc prod_y;      // prod * y  (the single value needing inversion)
+  Sc prod_y_inv;  // filled by the caller (shared batch inversion)
+};
+
+// Per-proof values derived from VPrepState once the shared batch inversion
+// has filled prod_y_inv; consumed by both the dyn/static-pair head emit and
+// the O(nm) g/h loops (scalar in verify_prep.cpp, 8-proof-lockstep AVX-512
+// IFMA in verify_emit_ifma.cpp).
+struct VEmitDerived {
+  Sc allinv;             // prod(u)^-1
+  Sc y_inv;              // y^-1
+  Sc u_sq[kMaxLg];       // u_i^2
+  Sc u_inv_sq[kMaxLg];   // u_i^-2
+  Sc rwa, rwb, rwz, rwzz;  // batch weight r times a, b, z, z^2
+};
+
 static bool is_zero32(const uint8_t* p) {
   for (int i = 0; i < 32; ++i)
     if (p[i]) return false;
   return true;
+}
+
+// 8-proof-lockstep g/h scalar accumulation (verify_emit_ifma.cpp; gated on
+// AVX-512 IFMA at runtime).  The accumulator is an opaque 64-byte-aligned
+// buffer holding the 2nm static g/h scalar sums in 8-lane Montgomery form;
+// bp_gh_fold converts it out and adds into the canonical byte accumulator.
+extern "C" {
+int bp_gh_ifma_available();
+size_t bp_gh_acc_bytes(u64 nm);
+void bp_gh_accumulate_x8(const VPrepState* sts, const VEmitDerived* ders,
+                         int k, u64 n, u64 m, int lg, void* acc);
+void bp_gh_fold(const void* acc, u64 nm, uint8_t* static_gh);
 }
 
 

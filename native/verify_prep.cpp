@@ -14,20 +14,11 @@
 //
 // Exposed via ctypes from bulletproofs_tpu/parallel/batch_verify.py.
 
+#include <new>
+
 #include "sc255.h"
 
 namespace {
-
-constexpr int kMaxLg = 40;  // nm <= 2^40; far beyond practical proof sizes
-
-struct VPrepState {
-  Sc y, z, x, w, c, rw;
-  Sc t_x, t_x_blinding, e_blinding, a, b;
-  Sc u[kMaxLg];
-  Sc prod;        // prod_i u_i
-  Sc prod_y;      // prod * y  (the single value needing inversion)
-  Sc prod_y_inv;  // filled by the caller (shared batch inversion)
-};
 
 // Transcript replay + challenge extraction.  Returns 0 on success.
 int vprep_replay(Strobe* strobe, const uint8_t* proof, size_t proof_len,
@@ -173,13 +164,11 @@ static int vprep_precheck(const uint8_t* proof, int lg) {
   return 0;
 }
 
-// Verification scalars, given st.prod_y_inv = (prod(u) * y)^-1.
-void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
-                uint8_t* dyn_scalars, uint8_t* static_acc) {
-  const u64 nm = n * m;
-  Sc allinv, y_inv;
-  sc_mul(allinv, st.prod_y_inv, st.y);     // prod(u)^-1
-  sc_mul(y_inv, st.prod_y_inv, st.prod);   // y^-1
+// Per-proof derived values from the replayed state, once the shared batch
+// inversion has filled prod_y_inv.
+void vprep_derive(const VPrepState& st, int lg, VEmitDerived& d) {
+  sc_mul(d.allinv, st.prod_y_inv, st.y);    // prod(u)^-1
+  sc_mul(d.y_inv, st.prod_y_inv, st.prod);  // y^-1
 
   Sc uinv[kMaxLg];
   {
@@ -189,30 +178,31 @@ void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
     Sc pre = {{1, 0, 0, 0}};
     for (int i = 0; i < lg; ++i) {
       Sc t0;
-      sc_mul(t0, allinv, pre);
+      sc_mul(t0, d.allinv, pre);
       sc_mul(uinv[i], t0, suf[i + 1]);
       sc_mul(pre, pre, st.u[i]);
     }
   }
-
-  Sc u_sq[kMaxLg], u_inv_sq[kMaxLg];
   for (int i = 0; i < lg; ++i) {
-    sc_mul(u_sq[i], st.u[i], st.u[i]);
-    sc_mul(u_inv_sq[i], uinv[i], uinv[i]);
+    sc_mul(d.u_sq[i], st.u[i], st.u[i]);
+    sc_mul(d.u_inv_sq[i], uinv[i], uinv[i]);
   }
-
-  // s vector
-  Sc* s = new Sc[nm];
-  s[0] = allinv;
-  for (u64 i = 1; i < nm; ++i) {
-    int lg_i = 63 - __builtin_clzll(i);
-    u64 k = 1ULL << lg_i;
-    sc_mul(s[i], s[i - k], u_sq[(lg - 1) - lg_i]);
-  }
-
-  Sc zz, minus_z;
+  sc_mul(d.rwa, st.rw, st.a);
+  sc_mul(d.rwb, st.rw, st.b);
+  sc_mul(d.rwz, st.rw, st.z);
+  Sc zz;
   sc_mul(zz, st.z, st.z);
-  sc_neg(minus_z, st.z);
+  sc_mul(d.rwzz, st.rw, zz);
+}
+
+// Dyn scalars plus the two static head scalars (everything except the
+// O(nm) g/h loops).
+void vprep_emit_head(const VPrepState& st, const VEmitDerived& d, u64 n,
+                     u64 m, int lg, uint8_t* dyn_scalars,
+                     uint8_t* static_acc) {
+  const u64 nm = n * m;
+  Sc zz;
+  sc_mul(zz, st.z, st.z);
 
   // dyn scalars: [1, x, c*x, c*x*x] + u_sq + u_inv_sq + vc_scalars
   Sc one = {{1, 0, 0, 0}};
@@ -237,8 +227,8 @@ void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
   emit(st.x);
   emit(cx);
   emit(cxx);
-  for (int i = 0; i < lg; ++i) emit(u_sq[i]);
-  for (int i = 0; i < lg; ++i) emit(u_inv_sq[i]);
+  for (int i = 0; i < lg; ++i) emit(d.u_sq[i]);
+  for (int i = 0; i < lg; ++i) emit(d.u_inv_sq[i]);
   // vc scalars: c * zz * z^j
   {
     Sc czz;
@@ -250,7 +240,7 @@ void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
     }
   }
 
-  // static scalars: [-e_blinding - c*t_x_blinding, basepoint_scalar] + g + h
+  // static head: [-e_blinding - c*t_x_blinding, basepoint_scalar]
   out = static_acc;
   accumulate = true;
   {
@@ -299,40 +289,79 @@ void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
     sc_add(bp, wterm, dterm);
     emit(bp);
   }
-  // g[i] = -z - a*s[i];  h[i] = z + y^-i * (zz * z_and_2[i] - b * s[nm-1-i])
-  {
-    for (u64 i = 0; i < nm; ++i) {
-      Sc as, g;
-      sc_mul(as, st.a, s[i]);
-      sc_sub(g, minus_z, as);
-      emit(g);
+}
+
+// Scalar fallback for the O(nm) g/h loops (the IFMA lockstep path in
+// verify_emit_ifma.cpp replaces this when available).  static_gh points at
+// the g region of the static accumulator (static_acc + 64).
+//   g[i] = -z - a*s[i];  h[i] = z + y^-i * (zz * z_and_2[i] - b * s[nm-1-i])
+void vprep_emit_gh(const VPrepState& st, const VEmitDerived& d, u64 n, u64 m,
+                   int lg, uint8_t* static_gh) {
+  const u64 nm = n * m;
+
+  Sc* s = new Sc[nm];
+  s[0] = d.allinv;
+  for (u64 i = 1; i < nm; ++i) {
+    int lg_i = 63 - __builtin_clzll(i);
+    u64 k = 1ULL << lg_i;
+    sc_mul(s[i], s[i - k], d.u_sq[(lg - 1) - lg_i]);
+  }
+
+  Sc zz, minus_z;
+  sc_mul(zz, st.z, st.z);
+  sc_neg(minus_z, st.z);
+
+  uint8_t* out = static_gh;
+  const Sc& rw = st.rw;
+  auto emit = [&out, &rw](const Sc& v) {
+    Sc weighted;
+    sc_mul(weighted, rw, v);
+    Sc cur;
+    std::memcpy(cur.v, out, 32);
+    sc_add(weighted, weighted, cur);
+    std::memcpy(out, weighted.v, 32);
+    out += 32;
+  };
+  for (u64 i = 0; i < nm; ++i) {
+    Sc as, g;
+    sc_mul(as, st.a, s[i]);
+    sc_sub(g, minus_z, as);
+    emit(g);
+  }
+  Sc yi = {{1, 0, 0, 0}};
+  Sc two = {{2, 0, 0, 0}};
+  // z_and_2[i] = 2^(i mod n) * z^(i / n)
+  Sc zj = {{1, 0, 0, 0}};
+  Sc p2 = {{1, 0, 0, 0}};
+  for (u64 i = 0; i < nm; ++i) {
+    u64 bit = i % n;
+    if (i > 0 && bit == 0) {
+      sc_mul(zj, zj, st.z);
+      p2 = {{1, 0, 0, 0}};
     }
-    Sc yi = {{1, 0, 0, 0}};
-    Sc two = {{2, 0, 0, 0}};
-    // z_and_2[i] = 2^(i mod n) * z^(i / n)
-    Sc zj = {{1, 0, 0, 0}};
-    Sc p2 = {{1, 0, 0, 0}};
-    for (u64 i = 0; i < nm; ++i) {
-      u64 bit = i % n;
-      if (i > 0 && bit == 0) {
-        sc_mul(zj, zj, st.z);
-        p2 = {{1, 0, 0, 0}};
-      }
-      Sc z2;
-      sc_mul(z2, p2, zj);
-      Sc t0, t1, h;
-      sc_mul(t0, zz, z2);
-      sc_mul(t1, st.b, s[nm - 1 - i]);
-      sc_sub(t0, t0, t1);
-      sc_mul(t0, yi, t0);
-      sc_add(h, st.z, t0);
-      emit(h);
-      sc_mul(yi, yi, y_inv);
-      sc_mul(p2, p2, two);
-    }
+    Sc z2;
+    sc_mul(z2, p2, zj);
+    Sc t0, t1, h;
+    sc_mul(t0, zz, z2);
+    sc_mul(t1, st.b, s[nm - 1 - i]);
+    sc_sub(t0, t0, t1);
+    sc_mul(t0, yi, t0);
+    sc_add(h, st.z, t0);
+    emit(h);
+    sc_mul(yi, yi, d.y_inv);
+    sc_mul(p2, p2, two);
   }
 
   delete[] s;
+}
+
+// Full single-proof emit: dyn + static head + g/h.
+void vprep_emit(const VPrepState& st, u64 n, u64 m, int lg,
+                uint8_t* dyn_scalars, uint8_t* static_acc) {
+  VEmitDerived d;
+  vprep_derive(st, lg, d);
+  vprep_emit_head(st, d, n, m, lg, dyn_scalars, static_acc);
+  vprep_emit_gh(st, d, n, m, lg, static_acc + 64);
 }
 
 int lg_of(u64 nm) {
@@ -432,8 +461,36 @@ int rangeproof_verify_prep_batch(uint8_t* strobes, size_t strobe_stride,
   }
   delete[] prefix;
 
-  for (u64 i = 0; i < count; ++i)
-    vprep_emit(sts[i], n, m, lg, dyn_out + i * dyn_sz, static_acc);
+  VEmitDerived* ders = new VEmitDerived[count];
+  for (u64 i = 0; i < count; ++i) {
+    vprep_derive(sts[i], lg, ders[i]);
+    vprep_emit_head(sts[i], ders[i], n, m, lg, dyn_out + i * dyn_sz,
+                    static_acc);
+  }
+
+  // g/h loops: 8-proof-lockstep AVX-512 IFMA when the CPU has it, scalar
+  // otherwise.  The lane accumulator tolerates <= 2048 group additions per
+  // limb; fold and re-zero past that.
+  if (bp_gh_ifma_available() && count >= 8) {
+    const u64 nm = n * m;
+    const size_t abytes = bp_gh_acc_bytes(nm);
+    uint8_t* acc = new (std::align_val_t(64)) uint8_t[abytes];
+    u64 i = 0;
+    while (i < count) {
+      std::memset(acc, 0, abytes);
+      for (u64 groups = 0; i < count && groups < 2048; ++groups) {
+        const int k = (int)(count - i < 8 ? count - i : 8);
+        bp_gh_accumulate_x8(sts + i, ders + i, k, n, m, lg, acc);
+        i += k;
+      }
+      bp_gh_fold(acc, nm, static_acc + 64);
+    }
+    operator delete[](acc, std::align_val_t(64));
+  } else {
+    for (u64 i = 0; i < count; ++i)
+      vprep_emit_gh(sts[i], ders[i], n, m, lg, static_acc + 64);
+  }
+  delete[] ders;
   delete[] sts;
   return 0;
 }
