@@ -15,6 +15,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = [
     ("range_proof.py", []),
     ("mpc_aggregation.py", []),
+    ("mpc_multiprocess.py", ["2"]),
     ("r1cs_gadget.py", ["4"]),
     ("batch_throughput.py", ["8"]),
 ]
