@@ -41,7 +41,8 @@ def main(batch=4096, n=64):
             return r
         return wrap
 
-    PS.stage0 = timed("stage0", PS.stage0)
+    PS.v_digits = timed("stage0", PS.v_digits)
+    PS.stage0_agg = timed("stage0", PS.stage0_agg)
     PS.stage1 = timed("stage1", PS.stage1)
     PS.stage2 = timed("stage2", PS.stage2)
     PS.round_digits_compact = timed("round_digits", PS.round_digits_compact)

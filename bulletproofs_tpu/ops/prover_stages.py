@@ -77,20 +77,6 @@ def _bit_commit_coefs(n: int, bits: jnp.ndarray, ab, sb, sl, sr):
     return coef_a, coef_s
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def stage0(n: int, bits: jnp.ndarray, v_sc: jnp.ndarray, vb: jnp.ndarray,
-           ab: jnp.ndarray, sb: jnp.ndarray, sl: jnp.ndarray,
-           sr: jnp.ndarray) -> jnp.ndarray:
-    """bits (n, P) int32; v_sc, vb, ab, sb (L, P); sl, sr (L, n, P)
-    -> digit stream ((2n+2)*64, 3P) for rows [V.., A.., S..] over bases
-    [B, B~, G.., H..]."""
-    p = bits.shape[-1]
-    zeron = _zeros(n, p)
-    coef_a, coef_s = _bit_commit_coefs(n, bits, ab, sb, sl, sr)
-    coef_v = jnp.concatenate([_col(v_sc), _col(vb), zeron, zeron], axis=1)
-    return _coef_digits(jnp.concatenate([coef_v, coef_a, coef_s], axis=2))
-
-
 @jax.jit
 def v_digits(v_sc: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
     """Per-party value commitments V_j = v_j B + vb_j B~: v_sc, vb

@@ -236,16 +236,13 @@ class BatchProver:
              for k in range(N)], np.int32)
         bits = jnp.asarray(bits_np)
 
-        # stage 0: V_j (m*count rows over [B, B~]), A, S (dealer sums over
-        # all N generators)
-        if m == 1:
-            dig0 = PS.stage0(n, bits, v_sc, vb, ab, sb, sl, sr)
-            vas_pts = fixed_msm.msm_digits(self.tables, dig0)
-        else:
-            vpts = fixed_msm.msm_digits(self.tables_bb, PS.v_digits(v_sc, vb))
-            aspts = fixed_msm.msm_digits(
-                self.tables, PS.stage0_agg(N, bits, ab, sb, sl, sr))
-            vas_pts = jnp.concatenate([vpts, aspts], axis=-1)
+        # stage 0: V_j (m*count rows over the 2-base [B, B~] tables -- the
+        # full-table variant would burn 2N*64 zero-digit window ops per V
+        # row), then A, S (dealer sums over all N generators)
+        vpts = fixed_msm.msm_digits(self.tables_bb, PS.v_digits(v_sc, vb))
+        aspts = fixed_msm.msm_digits(
+            self.tables, PS.stage0_agg(N, bits, ab, sb, sl, sr))
+        vas_pts = jnp.concatenate([vpts, aspts], axis=-1)
         vas = yield C.compress_device(vas_pts)
         yz = ctypes.create_string_buffer(3 * count * 32)
         rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,

@@ -47,6 +47,29 @@ def test_batch_prove_matches_host_prover_semantics(rng):
     assert len(proofs[0].to_bytes()) == len(host_p.to_bytes())
 
 
+def test_batch_prove_m1_device_path(rng):
+    """Single-value (m = 1) batched proving through the device stages
+    (interpret-mode Pallas on CPU): V rows over the 2-base tables, A/S
+    over the full tables; outputs verify individually."""
+    from bulletproofs_tpu.ops import fixed_msm
+
+    n = 8
+    prover = BatchProver(BP, PC, n)
+    prover.force_device = True
+    old = fixed_msm._INTERPRET
+    fixed_msm._INTERPRET = True
+    try:
+        values = [5, (1 << n) - 1]
+        blinds = [Scalar.random(rng) for _ in range(2)]
+        labels = [b"devbp %d" % i for i in range(2)]
+        proofs, vcs = prover.prove_batch(
+            values, blinds, [Transcript(l) for l in labels], rng=rng)
+        for i in range(2):
+            proofs[i].verify_single(BP, PC, Transcript(labels[i]), vcs[i], n)
+    finally:
+        fixed_msm._INTERPRET = old
+
+
 @pytest.mark.slow
 def test_batch_prove_aggregated_m2_device_path(rng):
     """Aggregated (m = 2) batched proving through the device stages
