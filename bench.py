@@ -73,23 +73,33 @@ def main():
     batch = 256 if cpu_fallback else 4096
     rng = Rng()
 
-    # batch proving (TPU batch prover; secondary metric on stderr)
+    # batch proving (TPU batch prover; secondary metric on stderr).  A
+    # device-prover failure must not zero out the headline verify metric:
+    # fall back to the host prover to produce the proofs.
     from bulletproofs_tpu.proofs.batch_prover import BatchProver
     prover = BatchProver(bp_gens, pc_gens, n)
     all_values = [int.from_bytes(secrets.token_bytes(8), "little")
                   for _ in range(batch)]
     all_blinds = [Scalar.random(rng) for _ in range(batch)]
     all_labels = [b"bench proof %d" % i for i in range(batch)]
-    t0 = time.time()
-    all_proofs, flat_vcs = prover.prove_batch(
-        all_values, all_blinds, [Transcript(l) for l in all_labels], rng=rng)
-    log(f"warm-up batch prove ({batch} proofs incl. compile): {time.time()-t0:.1f}s")
-    t0 = time.time()
-    all_proofs, flat_vcs = prover.prove_batch(
-        all_values, all_blinds, [Transcript(l) for l in all_labels], rng=rng)
-    prove_dt = time.time() - t0
-    log(f"batch prove {batch}: {prove_dt*1000:.0f} ms -> "
-        f"{batch/prove_dt:.0f} proofs/s (reference single-core: 137/s)")
+    try:
+        t0 = time.time()
+        all_proofs, flat_vcs = prover.prove_batch(
+            all_values, all_blinds, [Transcript(l) for l in all_labels], rng=rng)
+        log(f"warm-up batch prove ({batch} proofs incl. compile): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        all_proofs, flat_vcs = prover.prove_batch(
+            all_values, all_blinds, [Transcript(l) for l in all_labels], rng=rng)
+        prove_dt = time.time() - t0
+        log(f"batch prove {batch}: {prove_dt*1000:.0f} ms -> "
+            f"{batch/prove_dt:.0f} proofs/s (reference single-core: 137/s)")
+    except Exception as e:
+        log(f"device batch prove FAILED ({type(e).__name__}: {e}); "
+            "proving on host instead")
+        t0 = time.time()
+        all_proofs, flat_vcs = prover._prove_batch_host(
+            all_values, all_blinds, [Transcript(l) for l in all_labels], rng)
+        log(f"host batch prove {batch}: {time.time()-t0:.1f}s")
     all_vcss = [[v] for v in flat_vcs]
 
     bv = BatchVerifier(bp_gens, pc_gens, n=n, m=1)

@@ -55,8 +55,11 @@ def _smul_kernel(sconsts_ref, x_ref, m_ref, out_ref):
 
 def _blk(n_cols: int) -> int:
     # widest tile that divides the column count: per-limb rows lower to
-    # (1, blk) vectors, so width is what amortizes the sublane padding
-    for b in (8192, 4096, 2048, 1024, 512):
+    # (1, blk) vectors, so width is what amortizes the sublane padding.
+    # Capped at 2048: _digits64/_smul intermediates live entirely on the
+    # scoped-VMEM stack, and at 8192-wide blocks they exceed the 16 MB
+    # scoped limit (measured 18.75 MB for the digits kernel at (20, 8192)).
+    for b in (2048, 1024, 512):
         if n_cols % b == 0:
             return b
     return n_cols
