@@ -197,31 +197,39 @@ class BatchProver:
             return VS.limbs_to_bytes33(limb_stack.reshape(limb_stack.shape[0], -1))
 
         def canonical_rows(by, k):
-            """fetched (k*P, 33) uint8 -> (k, P, 32) canonical rows."""
-            blob = by.tobytes()
-            vals = [int.from_bytes(blob[i * 33: (i + 1) * 33], "little") % ELL
-                    for i in range(k * count)]
-            return np.frombuffer(
-                b"".join(v.to_bytes(32, "little") for v in vals),
-                np.uint8).reshape(k, count, 32)
+            """fetched (k*P, 33) uint8 -> (k, P, 32) canonical rows (one
+            C++ wide-reduce call; 33-byte values zero-pad to the 64-byte
+            reduction input)."""
+            wide = np.zeros((k * count, 64), np.uint8)
+            wide[:, :33] = by
+            out = ctypes.create_string_buffer(k * count * 32)
+            rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(k * count),
+                                        wide.tobytes(), out)
+            assert rc == 0
+            return np.frombuffer(out.raw, np.uint8).reshape(k, count, 32)
 
         # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (N*count,
-        # laid out i-major so a reshape gives (L, N, P))
+        # laid out i-major so a reshape gives (L, N, P)).  Expanded ON
+        # DEVICE from one 256-bit seed (ops/chacha.py) -- uploading
+        # host-drawn scalars costs 32 B x (4+2N) x P (~0.6 s of tunnel
+        # time per 4096-proof batch at n = 64), vs 32 B total for the seed.
         n_draws = count * (4 + 2 * N)
-        reduced = ctypes.create_string_buffer(n_draws * 32)
-        rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
-                                    rng.randbytes(n_draws * 64), reduced)
-        assert rc == 0
-        red = reduced.raw
-        o = 32 * count
-        ab = dev_scalars(red[:o], count)
-        sb = dev_scalars(red[o: 2 * o], count)
-        t1b = dev_scalars(red[2 * o: 3 * o], count)
-        t2b = dev_scalars(red[3 * o: 4 * o], count)
-        sl = dev_scalars(red[4 * o: 4 * o + 32 * N * count],
-                         N * count).reshape(-1, N, count)
-        sr = dev_scalars(red[4 * o + 32 * N * count:],
-                         N * count).reshape(-1, N, count)
+        if getattr(self, "use_host_blinds", False):
+            reduced = ctypes.create_string_buffer(n_draws * 32)
+            rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
+                                        rng.randbytes(n_draws * 64), reduced)
+            assert rc == 0
+            red = dev_scalars(reduced.raw, n_draws)
+        else:
+            from ..ops import chacha
+            red = chacha.random_scalars(rng.randbytes(32), n_draws)
+        o = count
+        ab = red[:, :o]
+        sb = red[:, o: 2 * o]
+        t1b = red[:, 2 * o: 3 * o]
+        t2b = red[:, 3 * o: 4 * o]
+        sl = red[:, 4 * o: 4 * o + N * count].reshape(-1, N, count)
+        sr = red[:, 4 * o + N * count:].reshape(-1, N, count)
 
         # party-major scalars (column j*count + p) and concatenated bits
         # (row k = j*n + i)
@@ -231,9 +239,12 @@ class BatchProver:
         vb = dev_scalars(b"".join(blindings[p][j].to_bytes()
                                   for j in range(m) for p in range(count)),
                          m * count)
-        bits_np = np.array(
-            [[(int(values[p][k // n]) >> (k % n)) & 1 for p in range(count)]
-             for k in range(N)], np.int32)
+        # bits (N, count): row k = j*n + i is bit i of party j's value
+        vals_np = np.array([[int(values[p][j]) for p in range(count)]
+                            for j in range(m)], np.uint64)    # (m, count)
+        shifts = np.arange(n, dtype=np.uint64)
+        bits_np = ((vals_np[:, None, :] >> shifts[None, :, None]) & 1) \
+            .reshape(N, count).astype(np.int32)
         bits = jnp.asarray(bits_np)
 
         # stage 0: V_j (m*count rows over the 2-base [B, B~] tables -- the
