@@ -187,11 +187,14 @@ def from_bytes32(raw: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_wide_bytes(raw: jnp.ndarray) -> jnp.ndarray:
-    """(N, 64) uint8 -> (L, N) mod-l value (lo + 2^256 * hi mod l)."""
+    """(N, 64) uint8 -> (L, N) mod-l value (lo + 2^256 * hi mod l),
+    renormalized to the lazy domain (< ~5l): the raw sum lo + 5l can reach
+    ~1.27 * 2^256, which would alias under the < 2^256 digit-extraction
+    window."""
     lo = from_bytes32(raw[:, :32])
     hi = from_bytes32(raw[:, 32:])
     r256 = jnp.asarray(_R256)[:, None]
-    return sadd(smul(hi, r256), lo)
+    return sreduce(sadd(smul(hi, r256), lo))
 
 
 def power_sequence(y: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -68,6 +68,18 @@ def test_from_wide_bytes():
         assert g % ELL == int.from_bytes(row.tobytes(), "little") % ELL
 
 
+def test_from_wide_bytes_stays_below_digit_window():
+    """Worst-case wide input: the raw lo + (hi * 2^256 mod l) sum can reach
+    ~1.27 * 2^256, which would alias under the < 2^256 digit-extraction
+    window; from_wide_bytes must renormalize into the lazy domain."""
+    raw = np.full((4, 64), 0xFF, np.uint8)
+    got = ints(S.from_wide_bytes(jnp.asarray(raw)))
+    full = (1 << 512) - 1
+    for g in got:
+        assert g < 1 << 256
+        assert g % ELL == full % ELL
+
+
 def test_power_sequence_and_tree_sum():
     y = A[:, :4]
     seq = jax.jit(S.power_sequence, static_argnums=1)(y, 8)
