@@ -41,13 +41,13 @@ def main(batch=4096, n=64):
             return r
         return wrap
 
-    PS.v_digits = timed("stage0", PS.v_digits)
-    PS.stage0_agg = timed("stage0", PS.stage0_agg)
-    PS.stage1 = timed("stage1", PS.stage1)
-    PS.stage2 = timed("stage2", PS.stage2)
-    PS.round_digits_compact = timed("round_digits", PS.round_digits_compact)
-    PS.round_fold = timed("round_fold", PS.round_fold)
-    PS.final_scalars = timed("final_scalars", PS.final_scalars)
+    PS.stage0_fused = timed("stage0", PS.stage0_fused)
+    PS.stage1_fused = timed("stage1", PS.stage1_fused)
+    PS.stage2_fused = timed("stage2", PS.stage2_fused)
+    PS.round_first_fused = timed("rounds", PS.round_first_fused)
+    PS.roundk_fused = timed("rounds", PS.roundk_fused)
+    PS.final_fused = timed("final", PS.final_fused)
+    # leaf wrappers keep working for the non-fused (host-oracle) path
     FM.msm_digits = timed("msm", FM.msm_digits)
     C.compress_device = timed("compress", C.compress_device)
 

@@ -21,8 +21,9 @@ rows over NB bases.  Device algorithm:
   additions instead of 9-mul general ones, and no Horner doubling tail
   exists at all -- window weights live in the tables;
 * the kernel streams the NB*W (table point, digit) pairs serially per
-  output lane, accumulating a 16-bucket VMEM slab (4-bit unsigned digits,
-  dense one-hot mux as in ops/msm_pallas.py); outputs stay per-lane;
+  output lane, accumulating a 9-bucket VMEM slab (SIGNED 4-bit digits,
+  magnitude in [0, 8] plus a per-lane negation of the Niels point, dense
+  one-hot mux as in ops/msm_pallas.py); outputs stay per-lane;
 * a second kernel does the weighted bucket reduction (double suffix scan)
   per output lane.
 
@@ -49,7 +50,7 @@ from .limbs import NLIMBS
 L = NLIMBS
 WINDOW_BITS = 4
 NUM_WINDOWS = 64
-NUM_BUCKETS = 16
+NUM_BUCKETS = 9                # signed digits: magnitude in [0, 8]
 
 _INTERPRET = False
 
@@ -94,6 +95,7 @@ class FixedBaseTables:
 
     def __init__(self, points_host: Sequence):
         self.num_bases = len(points_host)
+        self.stream_len = self.num_bases * NUM_WINDOWS
         lanes = jnp.asarray(C.points_to_lanes(points_host))
         self.host_points = list(points_host)
         if _on_tpu():
@@ -129,10 +131,35 @@ class SubsetTables:
         import numpy as _np
         base_idx = _np.asarray(base_idx, _np.int32)
         self.num_bases = len(base_idx)
+        self.stream_len = self.num_bases * NUM_WINDOWS
         self.host_points = [full.host_points[j] for j in base_idx]
         self._full = full
         self._sel = (base_idx[:, None] * NUM_WINDOWS
                      + _np.arange(NUM_WINDOWS)[None, :]).reshape(-1)
+        if full.niels is not None:
+            self.niels = full.niels[:, :, jnp.asarray(self._sel), :]
+        else:
+            self.niels = None
+
+    def ensure_niels(self) -> jnp.ndarray:
+        if self.niels is None:
+            full = self._full.ensure_niels()
+            self.niels = full[:, :, jnp.asarray(self._sel), :]
+        return self.niels
+
+
+class StreamSubsetTables:
+    """View over ARBITRARY (base, window) stream rows (sel[i] = j * W + w)
+    of a FixedBaseTables.  Lets coefficient structure shrink the stream:
+    e.g. the range prover's A commitment has {0, +-1} coefficients on every
+    G_i/H_i (reference party.rs:102-112), so only window 0 of those tables
+    is ever touched -- 2N+64 stream rows instead of (2N+2)*64."""
+
+    def __init__(self, full: FixedBaseTables, sel):
+        import numpy as _np
+        self._sel = _np.asarray(sel, _np.int32)
+        self.stream_len = len(self._sel)
+        self._full = full
         if full.niels is not None:
             self.niels = full.niels[:, :, jnp.asarray(self._sel), :]
         else:
@@ -174,8 +201,12 @@ def _mixed_add(cur, pre):
 
 def _fixed_accum_kernel(consts_ref, niels_ref, digs_ref, out_ref, slab):
     """Grid (n_qblk, n_chunks).  niels (3, L, KCH, 1) stream chunk (shared
-    across lanes); digs (KCH, 1, QBLK); slab scratch (B, 4, L, QBLK)
-    persists across chunks; out (1, B, 4, L, QBLK) flushed on the last."""
+    across lanes); digs (KCH, 1, QBLK) SIGNED-encoded (mag = d & 15 in
+    [0, 8], bit 4 = negate the table point); slab scratch (B=9, 4, L, QBLK)
+    persists across chunks; out (1, B, 4, L, QBLK) flushed on the last.
+    Signed digits nearly halve the bucket-mux cost versus 16 unsigned
+    buckets; negating a Niels point is a (Y+X, Y-X) swap plus one field
+    negation of 2dT -- three per-lane selects."""
     PM.bind_consts(consts_ref)
     ck = pl.program_id(1)
     n_ck = pl.num_programs(1)
@@ -194,10 +225,15 @@ def _fixed_accum_kernel(consts_ref, niels_ref, digs_ref, out_ref, slab):
         # materialize the shared table point at full lane width once --
         # (L, 1) operands inside fmul lower to per-slice broadcasts that
         # Mosaic handles very slowly
-        pre = tuple(jnp.broadcast_to(niels_ref[c, :, k, :], (L, qblk))
-                    for c in range(3))
+        ypx = jnp.broadcast_to(niels_ref[0, :, k, :], (L, qblk))
+        ymx = jnp.broadcast_to(niels_ref[1, :, k, :], (L, qblk))
+        td2 = jnp.broadcast_to(niels_ref[2, :, k, :], (L, qblk))
         d = digs_ref[k]                                            # (1, QBLK)
-        masks = [d == b for b in range(NUM_BUCKETS)]
+        neg = d >= 16
+        mag = d & 15
+        pre = (jnp.where(neg, ymx, ypx), jnp.where(neg, ypx, ymx),
+               jnp.where(neg, PM.fneg(td2), td2))
+        masks = [mag == b for b in range(NUM_BUCKETS)]
         cur = [jnp.zeros((L, qblk), jnp.int32) for _ in range(4)]
         for b in range(NUM_BUCKETS):
             sb = slab[b]
@@ -285,24 +321,45 @@ def _fixed_msm(niels: jnp.ndarray, digits: jnp.ndarray, consts: jnp.ndarray,
     return jnp.transpose(out, (1, 2, 0, 3)).reshape(4, L, Q)
 
 
+def signed_digit_oracle(nibbles: np.ndarray) -> np.ndarray:
+    """Host oracle for the signed recode: (..., W) unsigned base-16 digits
+    -> signed encoding (mag | 16*neg, mag in [0, 8]).  Requires the scalar
+    value < 8 * 2^252 so the carry out of the top window is zero."""
+    out = np.zeros_like(nibbles)
+    carry = np.zeros(nibbles.shape[:-1], nibbles.dtype)
+    for w in range(nibbles.shape[-1]):
+        v = nibbles[..., w] + carry
+        neg = v > 8
+        out[..., w] = np.where(neg, 32 - v, v)
+        carry = neg.astype(nibbles.dtype)
+    assert not carry.any(), "signed recode carried out of the top window"
+    return out
+
+
 def digits_from_bytes(coef_bytes: np.ndarray) -> np.ndarray:
-    """(Q, NB, 32) uint8 scalar bytes -> (NB*W, Q) uint8 4-bit digit stream
-    (host numpy; used by tests/fallbacks -- the device path extracts digits
-    on device, see _device_digit_stream)."""
+    """(Q, NB, 32) uint8 scalar bytes (values < 8 * 2^252) -> (NB*W, Q)
+    uint8 SIGNED 4-bit digit stream (host numpy; used by tests/fallbacks --
+    the device path extracts digits on device, see _device_digit_stream)."""
     q, nb, _ = coef_bytes.shape
     lo = coef_bytes & 15
     hi = coef_bytes >> 4
     d = np.stack([lo, hi], axis=3).reshape(q, nb, 64)   # (Q, NB, W)
+    d = signed_digit_oracle(d)
     return np.ascontiguousarray(d.reshape(q, nb * 64).T)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _device_digit_stream(coef_bytes: jnp.ndarray, pad_s: int, pad_q: int) -> jnp.ndarray:
-    """(Q, NB, 32) uint8 on device -> (NB*64 + pad_s, Q + pad_q) int32
-    digit stream (s = j * 64 + w); padding is digit 0 / ignored."""
+    """(Q, NB, 32) uint8 on device (canonical scalars) -> (NB*64 + pad_s,
+    Q + pad_q) int32 SIGNED digit stream (s = j * 64 + w); padding is
+    digit 0 / ignored."""
+    from .msm_pallas import to_signed_digits
     q, nb, _ = coef_bytes.shape
     b = coef_bytes.astype(jnp.int32)
-    d = jnp.stack([b & 15, b >> 4], axis=3).reshape(q, nb * 64).T
+    # (Q, NB, W) -> (W, Q*NB): the signed recode scans windows per scalar
+    d = jnp.stack([b & 15, b >> 4], axis=3)
+    d = to_signed_digits(jnp.transpose(d, (2, 0, 1)).reshape(64, q * nb))
+    d = jnp.transpose(d.reshape(64, q, nb), (1, 2, 0)).reshape(q, nb * 64).T
     if pad_s:
         d = jnp.concatenate([d, jnp.zeros((pad_s, q), jnp.int32)], axis=0)
     if pad_q:
@@ -339,25 +396,35 @@ def msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray,
     return out[..., :qn]
 
 
-def msm_digits(tables: FixedBaseTables, digits: jnp.ndarray,
-               qblk: int = 512, kchunk: int = 16) -> jnp.ndarray:
-    """Device digit stream (NB*64, Q) int32 -> (4, L, Q) points.  The digit
-    stream never visits the host (produced by ops/prover_stages.py)."""
+def msm_digits_niels(niels: jnp.ndarray, digits: jnp.ndarray,
+                     qblk: int = 512, kchunk: int = 16) -> jnp.ndarray:
+    """Core of msm_digits over a raw (3, L, S, 1) Niels stream tensor --
+    traceable inside an outer jit (the fused prover stages pass table
+    tensors as arguments so one launch covers a whole protocol phase)."""
     s, qn = digits.shape
-    assert s == tables.num_bases * NUM_WINDOWS
+    assert s == niels.shape[2]
     pad_s = (-s) % kchunk
     if qn < qblk:
         qblk = max(256, 1 << max(0, qn - 1).bit_length())
     pad_q = (-qn) % qblk
     if pad_s or pad_q:
         digits = jnp.pad(digits, ((0, pad_s), (0, pad_q)))
-    niels = tables.ensure_niels()
     if pad_s:
         ident = jnp.zeros((3, niels.shape[1], pad_s, 1), jnp.int32)
+        # Niels identity: (Y+X, Y-X, 2dT) = (1, 1, 0)
         ident = ident.at[0, 0].set(1).at[1, 0].set(1)
         niels = jnp.concatenate([niels, ident], axis=2)
     out = _fixed_msm(niels, digits, jnp.asarray(PM.CONSTS), qblk, kchunk)
     return out[..., :qn]
+
+
+def msm_digits(tables: FixedBaseTables, digits: jnp.ndarray,
+               qblk: int = 512, kchunk: int = 16) -> jnp.ndarray:
+    """Device SIGNED digit stream (NB*64, Q) int32 (mag | 16*neg encoding,
+    from prover_stages._coef_digits) -> (4, L, Q) points.  The digit stream
+    never visits the host."""
+    assert digits.shape[0] == tables.stream_len
+    return msm_digits_niels(tables.ensure_niels(), digits, qblk, kchunk)
 
 
 def _host_msm_points(tables: FixedBaseTables, coef_bytes: np.ndarray):

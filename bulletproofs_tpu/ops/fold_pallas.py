@@ -22,7 +22,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .limbs import NLIMBS
-from .verify_pallas import _SCONSTS, _mat, _smul, _sadd, _digits64, _KQ
+from .verify_pallas import (_SCONSTS, _mat, _smul, _sadd, _digits64, _KQ,
+                            _renorm)
 
 L = NLIMBS
 BLKN = 512          # lane columns per grid cell
@@ -97,25 +98,47 @@ def smul_lanes(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return _call(_smul_kernel, (x, m))
 
 
-def _digits_kernel(x_ref, out_ref):
-    out_ref[:] = _digits64(x_ref[:])
+def _signed_recode(rows):
+    """(64, N) unsigned base-16 digit rows of a value < 8 * 2^252 ->
+    signed encoding (mag | 16*neg, mag in [0, 8]); sequential carry over
+    the static window axis (concat form, Mosaic-safe)."""
+    out = []
+    carry = jnp.zeros_like(rows[:1])
+    for w in range(64):
+        v = rows[w: w + 1] + carry
+        neg = v > 8
+        out.append(jnp.where(neg, 32 - v, v))
+        carry = neg.astype(jnp.int32)
+    return jnp.concatenate(out, axis=0)
+
+
+def _digits_kernel(sconsts_ref, x_ref, out_ref):
+    # renormalize to < ~5l < 8 * 2^252 first: the signed recode's carry out
+    # of the top window must be zero, and inputs are lazy (< 2^256)
+    w = x_ref.shape[-1]
+    mu = _mat(sconsts_ref[0], w)
+    negl = _mat(sconsts_ref[1], w)
+    out_ref[:] = _signed_recode(_digits64(_renorm(x_ref[:], mu, negl)))
 
 
 @jax.jit
 def digits_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """(L, N) lazy limbs (< 2^256) -> (64, N) 4-bit digit rows; the fused
-    form of vec_scalar.digits64 (19-step exact carry + 64 nibble extracts
-    stay in VMEM instead of ~85 HBM round-trips)."""
+    """(L, N) lazy limbs (< 2^260) -> (64, N) SIGNED 4-bit digit rows
+    (mag | 16*neg, the ops/fixed_msm bucket encoding); fused Barrett
+    renormalization + 19-step exact carry + 64 nibble extracts + signed
+    recode, all in VMEM instead of ~150 HBM round-trips."""
     n_cols = x.shape[-1]
     blk = _blk(n_cols)
     T = n_cols // blk
     return pl.pallas_call(
         _digits_kernel,
         grid=(T,),
-        in_specs=[pl.BlockSpec((L, blk), lambda t: (0, t),
+        in_specs=[pl.BlockSpec((3, _KQ, 1), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((L, blk), lambda t: (0, t),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((64, blk), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((64, n_cols), jnp.int32),
         interpret=_INTERPRET,
-    )(x)
+    )(jnp.asarray(_SCONSTS), x)

@@ -42,14 +42,18 @@ def _col(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _coef_digits(coef: jnp.ndarray) -> jnp.ndarray:
-    """(L, nb, Q) coefficient limbs -> (nb * 64, Q) digit stream
-    (s = j * 64 + w, matching fixed_msm's table order)."""
+    """(L, nb, Q) coefficient limbs (lazy, < 2^260) -> (nb * 64, Q) SIGNED
+    digit stream (s = j * 64 + w, matching fixed_msm's table order and its
+    mag | 16*neg bucket encoding)."""
     nb, q = coef.shape[1], coef.shape[2]
     from . import fold_pallas as FP
     if FP.usable(nb * q):
         d = FP.digits_lanes(coef.reshape(L, nb * q)).reshape(64, nb, q)
     else:
-        d = S.digits64(coef.reshape(L, nb * q)).reshape(64, nb, q)
+        from .msm_pallas import to_signed_digits
+        # renormalize to < ~5l first: the signed recode needs < 8 * 2^252
+        red = S.sreduce(coef.reshape(L, nb * q))
+        d = to_signed_digits(S.digits64(red)).reshape(64, nb, q)
     return jnp.transpose(d, (1, 0, 2)).reshape(nb * 64, q)
 
 
@@ -61,22 +65,6 @@ def _pow2_const(n: int) -> np.ndarray:
     return np.stack([S.const(1 << i) for i in range(n)], axis=1)
 
 
-def _bit_commit_coefs(n: int, bits: jnp.ndarray, ab, sb, sl, sr):
-    """Shared A/S coefficient rows over [B, B~, G..(n), H..(n)]:
-    A = [0, ab, aL, aR], S = [0, sb, sL, sR] with aL[i] = bit i,
-    aR[i] = aL[i] - 1 (reference party.rs:102-124)."""
-    p = bits.shape[-1]
-    zero1 = _zeros(1, p)
-    minus_one = jnp.asarray(S.const(ELL - 1))[:, None, :]
-    bit_mask = (bits != 0)[None, :, :]
-    one_limb = jnp.asarray(S.ONE)[:, None, :]
-    aL = jnp.where(bit_mask, jnp.broadcast_to(one_limb, (L, n, p)), 0)
-    aR = jnp.where(bit_mask, 0, jnp.broadcast_to(minus_one, (L, n, p)))
-    coef_a = jnp.concatenate([zero1, _col(ab), aL, aR], axis=1)
-    coef_s = jnp.concatenate([zero1, _col(sb), sl, sr], axis=1)
-    return coef_a, coef_s
-
-
 @jax.jit
 def v_digits(v_sc: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
     """Per-party value commitments V_j = v_j B + vb_j B~: v_sc, vb
@@ -85,15 +73,52 @@ def v_digits(v_sc: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
     return _coef_digits(jnp.concatenate([_col(v_sc), _col(vb)], axis=1))
 
 
+def _signed_digit_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """(L, P) lazy scalars -> (64, P) signed digit rows."""
+    from . import fold_pallas as FP
+    p = x.shape[-1]
+    if FP.usable(p):
+        return FP.digits_lanes(x)
+    from .msm_pallas import to_signed_digits
+    return to_signed_digits(S.digits64(S.sreduce(x)))
+
+
+def a_stream_sel(N: int):
+    """Stream row indices (into the [B, B~, G..(N), H..(N)] table, row
+    s = j * 64 + w) for the compact A dispatch: [B~ all 64 windows,
+    G_i window 0, H_i window 0].  A = ab B~ + sum aL_i G_i + sum aR_i H_i
+    with aL in {0, 1}, aR in {0, -1} (reference party.rs:102-112): the
+    single-window +-1 coefficients touch only window 0 of each table, so
+    the stream is 64 + 2N rows instead of (2N + 2) * 64."""
+    rows = [1 * 64 + w for w in range(64)]
+    rows += [(2 + i) * 64 for i in range(N)]
+    rows += [(2 + N + i) * 64 for i in range(N)]
+    return rows
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
-def stage0_agg(N: int, bits: jnp.ndarray, ab: jnp.ndarray, sb: jnp.ndarray,
-               sl: jnp.ndarray, sr: jnp.ndarray) -> jnp.ndarray:
-    """Aggregated bit commitments: one A row and one S row per proof over
-    [B, B~, G..(N), H..(N)] (the trusted local dealer's sums A = sum A_j,
-    S = sum S_j, reference dealer.rs:112-120 -- one blinding draw stands in
-    for the sum of the m parties').  bits (N, P) -> ((2N+2)*64, 2P)."""
-    coef_a, coef_s = _bit_commit_coefs(N, bits, ab, sb, sl, sr)
-    return _coef_digits(jnp.concatenate([coef_a, coef_s], axis=2))
+def a_digits(N: int, bits: jnp.ndarray, ab: jnp.ndarray) -> jnp.ndarray:
+    """Signed digit stream (64 + 2N, P) for the compact A commitment over
+    a_stream_sel's rows: ab's 64 windows, then aL_i = bit_i (digit 1/0),
+    then aR_i = bit_i - 1 (digit 0 / -1 = mag 1 | 16)."""
+    aL = (bits != 0).astype(jnp.int32)
+    aR = jnp.where(bits != 0, 0, 17)
+    return jnp.concatenate([_signed_digit_cols(ab), aL, aR], axis=0)
+
+
+def s_base_sel(N: int):
+    """Base indices for the S-commitment dispatch: every base except B
+    (whose coefficient is identically zero)."""
+    return list(range(1, 2 * N + 2))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def s_digits(N: int, sb: jnp.ndarray, sl: jnp.ndarray,
+             sr: jnp.ndarray) -> jnp.ndarray:
+    """S = sb B~ + <sL, G> + <sR, H> (reference party.rs:119-124):
+    signed digit stream ((2N+1)*64, P) over s_base_sel's bases."""
+    coef = jnp.concatenate([_col(sb), sl, sr], axis=1)
+    return _coef_digits(coef)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -298,3 +323,127 @@ def final_scalars(a, b, t_x, t_xb, e_b):
     """-> (L, 5, P) stack [t_x, t_x_blinding, e_blinding, a0, b0] for one
     download."""
     return jnp.stack([t_x, t_xb, e_b, a[:, 0], b[:, 0]], axis=1)
+
+
+# --------------------------------------------------------------------------
+# fused phase launches
+#
+# Through the device tunnel every jit dispatch costs tens of milliseconds of
+# single-core host time; the stage-by-stage driver issued ~40 launches per
+# half-batch (digit builds, MSMs, compressions, byte codecs all separate)
+# and the launch overhead dominated the prove wall-clock.  Each function
+# below is ONE jit program covering a whole Fiat-Shamir phase: everything
+# between two transcript challenges.  Table tensors (Niels streams) are
+# passed as arguments, never closed over, so one compiled program serves
+# any generator set of the same shape.
+# --------------------------------------------------------------------------
+
+
+def _blind_slices(N: int, p: int, red: jnp.ndarray):
+    """Split the (L, (4 + 2N) * P) blinding block into
+    (ab, sb, t1b, t2b (L, P), sl, sr (L, N, P)); layout matches the
+    batch prover's draw order [ab][sb][t1b][t2b][sl][sr], i-major."""
+    o = p
+    ab = red[:, :o]
+    sb = red[:, o: 2 * o]
+    t1b = red[:, 2 * o: 3 * o]
+    t2b = red[:, 3 * o: 4 * o]
+    sl = red[:, 4 * o: 4 * o + N * p].reshape(L, N, p)
+    sr = red[:, 4 * o + N * p: 4 * o + 2 * N * p].reshape(L, N, p)
+    return ab, sb, t1b, t2b, sl, sr
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def stage0_fused(n: int, m: int, niels_bb, niels_a, niels_s, red,
+                 v_bytes, vb_bytes, bits):
+    """Stage 0 in one launch: value commitments V_j, the compact A
+    commitment, and S, compressed to rows [V (mP) | A (P) | S (P)]
+    (reference party.rs:87-124 summed by the local dealer)."""
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+
+    N, p = n * m, bits.shape[-1]
+    ab, sb, _, _, sl, sr = _blind_slices(N, p, red)
+    v_sc = S.from_bytes32(v_bytes)
+    vb = S.from_bytes32(vb_bytes)
+    vpts = FM.msm_digits_niels(niels_bb, v_digits(v_sc, vb))
+    apts = FM.msm_digits_niels(niels_a, a_digits(N, bits, ab))
+    spts = FM.msm_digits_niels(niels_s, s_digits(N, sb, sl, sr))
+    return C.compress_device(jnp.concatenate([vpts, apts, spts], axis=-1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def stage1_fused(n: int, m: int, niels_bb, bits, red, yz_bytes):
+    """Stage 1 in one launch: l/r polynomial pieces, the t-polynomial, and
+    compressed T_1/T_2 rows.  yz_bytes is the raw (3P, 32) block
+    [y | z | y^-1] from the C++ transcript stage."""
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+
+    N, p = n * m, bits.shape[-1]
+    _, _, t1b, t2b, sl, sr = _blind_slices(N, p, red)
+    yzi = S.from_bytes32(yz_bytes)
+    y, z, yinv = yzi[:, :p], yzi[:, p: 2 * p], yzi[:, 2 * p:]
+    l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = stage1(
+        n, m, bits, y, z, sl, sr, t1b, t2b)
+    tb = C.compress_device(FM.msm_digits_niels(niels_bb, tdig))
+    return tb, l0, l1, r0, r1, t0, t1, t2, zz_zpow, yinv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def stage2_fused(n: int, m: int, x_bytes, l0, l1, r0, r1, t0, t1, t2,
+                 zz_zpow, red, vb_bytes, yinv):
+    """Stage 2 in one launch: evaluate the shares at x and initialize the
+    IPP state; returns the (3P, 33) byte block [t_x | t_x_blinding |
+    e_blinding] plus the device-resident IPP state."""
+    N, p = n * m, l0.shape[-1]
+    ab, sb, t1b, t2b, _, _ = _blind_slices(N, p, red)
+    x = S.from_bytes32(x_bytes)
+    vb = S.from_bytes32(vb_bytes).reshape(L, m, p)
+    a, b, gw, hw, t_x, t_xb, e_b = stage2(
+        N, x, l0, l1, r0, r1, t0, t1, t2, zz_zpow, vb, t1b, t2b, ab, sb, yinv)
+    txs = S.limbs_to_bytes33(
+        jnp.stack([t_x, t_xb, e_b], axis=1).reshape(L, 3 * p))
+    return txs, a, b, gw, hw, t_x, t_xb, e_b
+
+
+def _round_emit(N, nk, niels_l, niels_r, a, b, gw, hw, w_bytes):
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+
+    w = S.from_bytes32(w_bytes)
+    dig_l, dig_r = round_digits_compact(N, nk, a, b, gw, hw, w)
+    pts = jnp.concatenate([FM.msm_digits_niels(niels_l, dig_l),
+                           FM.msm_digits_niels(niels_r, dig_r)], axis=-1)
+    return C.compress_device(pts)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def round_first_fused(N: int, niels_l, niels_r, a, b, gw, hw, w_bytes):
+    """First IPP round in one launch: compact L/R digit streams, both MSMs,
+    compression -> (2P, 32) rows [L | R]."""
+    return _round_emit(N, N, niels_l, niels_r, a, b, gw, hw, w_bytes)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def roundk_fused(N: int, nk: int, niels_l, niels_r, a, b, gw, hw,
+                 u_bytes, ui_bytes, w_bytes):
+    """Subsequent IPP round in one launch: fold the previous round
+    (2*nk -> nk) with its challenge, then emit this round's L/R."""
+    u = S.from_bytes32(u_bytes)
+    uinv = S.from_bytes32(ui_bytes)
+    a, b, gw, hw = round_fold(N, 2 * nk, a, b, gw, hw, u, uinv)
+    lr = _round_emit(N, nk, niels_l, niels_r, a, b, gw, hw, w_bytes)
+    return lr, a, b, gw, hw
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def final_fused(N: int, a, b, gw, hw, u_bytes, ui_bytes, t_x, t_xb, e_b):
+    """Last fold (2 -> 1) plus the final scalar download block
+    (5P, 33) [t_x | t_x_blinding | e_blinding | a0 | b0]."""
+    u = S.from_bytes32(u_bytes)
+    uinv = S.from_bytes32(ui_bytes)
+    a, b, _, _ = round_fold(N, 2, a, b, gw, hw, u, uinv)
+    p = a.shape[-1]
+    return S.limbs_to_bytes33(
+        final_scalars(a, b, t_x, t_xb, e_b).reshape(L, 5 * p))

@@ -7,13 +7,18 @@ single-party proofs (m = 1) together.
 
 Split of labor (SURVEY.md §7 architecture principle):
 
-* device (ops/fixed_msm.py): every point operation, as batched fixed-base
-  MSMs over [B, B~, G.., H..] -- commitments directly, and the IPP L_k/R_k
-  via challenge-product coefficients over the ORIGINAL generators (no point
-  folding; the prover-side mirror of `verification_scalars`);
-* host (native/prove_prep.cpp): Fiat-Shamir transcripts and all mod-l
-  scalar vector math (l/r polynomials, t-poly, IPP folds, coefficient
-  matrices), one batched C++ call per protocol stage.
+* device (ops/fixed_msm.py + ops/prover_stages.py): every point operation,
+  as batched fixed-base MSMs over [B, B~, G.., H..] -- commitments
+  directly, and the IPP L_k/R_k via challenge-product coefficients over
+  the ORIGINAL generators (no point folding; the prover-side mirror of
+  `verification_scalars`) -- plus all mod-l vector math.  Everything
+  between two Fiat-Shamir challenges is ONE fused jit launch
+  (prover_stages.stage*_fused / round*_fused): through the device tunnel
+  each dispatch costs tens of milliseconds of host time, so launch count,
+  not device FLOPs, set the old wall-clock;
+* host (native/prove_prep.cpp): Fiat-Shamir transcripts (Keccak/STROBE),
+  one batched C++ call per protocol stage.  The host-oracle path (no TPU)
+  additionally runs the scalar stages in C++.
 
 Wire format and transcript semantics are identical to the single-proof
 path: outputs verify with RangeProof.verify_single / BatchVerifier and are
@@ -31,7 +36,6 @@ import numpy as np
 from ..core.scalar import Scalar
 from ..errors import MPCError
 from ..generators import BulletproofGens, PedersenGens
-from ..ops import vec_curve as C
 from ..ops import fixed_msm
 from ..transcript import Transcript
 from .ipp import InnerProductProof
@@ -84,9 +88,15 @@ class BatchProver:
         self.tables = fixed_msm.FixedBaseTables(bases)
         self.tables_bb = fixed_msm.FixedBaseTables(bases[:2])
         self.force_device = False    # tests: exercise the device path on CPU
+        from ..ops import prover_stages as PS
+        # compact stage-0 streams: A touches only window 0 of each G/H
+        # (coefficients in {0, +-1}); S drops the zero-coefficient B column
+        self.a_tables = fixed_msm.StreamSubsetTables(
+            self.tables, PS.a_stream_sel(self.N))
+        self.s_tables = fixed_msm.SubsetTables(
+            self.tables, PS.s_base_sel(self.N))
         # per-round active-base subset tables (device path): the L/R MSMs
         # touch half the G's plus the complementary half of the H's
-        from ..ops import prover_stages as PS
         self.round_tables = {}
         nk = self.N
         while nk > 1:
@@ -178,8 +188,6 @@ class BatchProver:
         import jax
         import jax.numpy as jnp
         from ..ops import prover_stages as PS
-        from ..ops import vec_scalar as VS
-        from ..core.scalar import L as ELL
 
         n, m, N, count = self.n, self.m, self.N, len(values)
         strobe_size = len(transcripts[0].strobe.buf.raw)
@@ -187,14 +195,8 @@ class BatchProver:
             b"".join(t.strobe.buf.raw for t in transcripts),
             strobe_size * count)
 
-        def dev_scalars(raw32: bytes, num: int):
-            arr = np.frombuffer(raw32, np.uint8).reshape(num, 32)
-            return VS.from_bytes32(jnp.asarray(arr))
-
-        def scalar_bytes_device(limb_stack):
-            """(L, k, P) lazy device limbs -> (k*P, 33) device bytes (the
-            fetch happens at the driver, 33 B/scalar on the wire)."""
-            return VS.limbs_to_bytes33(limb_stack.reshape(limb_stack.shape[0], -1))
+        def byte_rows(raw: bytes, num: int) -> jnp.ndarray:
+            return jnp.asarray(np.frombuffer(raw, np.uint8).reshape(num, 32))
 
         def canonical_rows(by, k):
             """fetched (k*P, 33) uint8 -> (k, P, 32) canonical rows (one
@@ -219,26 +221,20 @@ class BatchProver:
             rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
                                         rng.randbytes(n_draws * 64), reduced)
             assert rc == 0
-            red = dev_scalars(reduced.raw, n_draws)
+            from ..ops import vec_scalar as VS
+            red = VS.from_bytes32(byte_rows(reduced.raw, n_draws))
         else:
             from ..ops import chacha
             red = chacha.random_scalars(rng.randbytes(32), n_draws)
-        o = count
-        ab = red[:, :o]
-        sb = red[:, o: 2 * o]
-        t1b = red[:, 2 * o: 3 * o]
-        t2b = red[:, 3 * o: 4 * o]
-        sl = red[:, 4 * o: 4 * o + N * count].reshape(-1, N, count)
-        sr = red[:, 4 * o + N * count:].reshape(-1, N, count)
 
         # party-major scalars (column j*count + p) and concatenated bits
         # (row k = j*n + i)
-        v_sc = dev_scalars(b"".join(int(values[p][j]).to_bytes(32, "little")
-                                    for j in range(m) for p in range(count)),
-                           m * count)
-        vb = dev_scalars(b"".join(blindings[p][j].to_bytes()
-                                  for j in range(m) for p in range(count)),
-                         m * count)
+        v_bytes = byte_rows(b"".join(int(values[p][j]).to_bytes(32, "little")
+                                     for j in range(m) for p in range(count)),
+                            m * count)
+        vb_bytes = byte_rows(b"".join(blindings[p][j].to_bytes()
+                                      for j in range(m) for p in range(count)),
+                             m * count)
         # bits (N, count): row k = j*n + i is bit i of party j's value
         vals_np = np.array([[int(values[p][j]) for p in range(count)]
                             for j in range(m)], np.uint64)    # (m, count)
@@ -247,40 +243,35 @@ class BatchProver:
             .reshape(N, count).astype(np.int32)
         bits = jnp.asarray(bits_np)
 
-        # stage 0: V_j (m*count rows over the 2-base [B, B~] tables -- the
-        # full-table variant would burn 2N*64 zero-digit window ops per V
-        # row), then A, S (dealer sums over all N generators)
-        vpts = fixed_msm.msm_digits(self.tables_bb, PS.v_digits(v_sc, vb))
-        aspts = fixed_msm.msm_digits(
-            self.tables, PS.stage0_agg(N, bits, ab, sb, sl, sr))
-        vas_pts = jnp.concatenate([vpts, aspts], axis=-1)
-        vas = yield C.compress_device(vas_pts)
+        niels_bb = self.tables_bb.ensure_niels()
+        niels_a = self.a_tables.ensure_niels()
+        niels_s = self.s_tables.ensure_niels()
+
+        # stage 0 (ONE launch): V_j rows over [B, B~], the compact A stream,
+        # S over every non-B base, all compressed together
+        vas = yield PS.stage0_fused(n, m, niels_bb, niels_a, niels_s, red,
+                                    v_bytes, vb_bytes, bits)
         yz = ctypes.create_string_buffer(3 * count * 32)
         rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,
                               ctypes.c_size_t(strobe_size),
                               ctypes.c_uint64(n), ctypes.c_uint64(m),
                               vas.tobytes(), yz)
         assert rc == 0
-        y = dev_scalars(yz.raw[: 32 * count], count)
-        z = dev_scalars(yz.raw[32 * count: 64 * count], count)
-        yinv = dev_scalars(yz.raw[64 * count:], count)
 
-        # stage 1: T_1, T_2
-        l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = PS.stage1(
-            n, m, bits, y, z, sl, sr, t1b, t2b)
-        tb = yield C.compress_device(fixed_msm.msm_digits(self.tables_bb, tdig))
+        # stage 1 (ONE launch): T_1, T_2 + the l/r polynomial state
+        (tb_dev, l0, l1, r0, r1, t0, t1, t2, zz_zpow, yinv) = PS.stage1_fused(
+            n, m, niels_bb, bits, red, byte_rows(yz.raw, 3 * count))
+        tb = yield tb_dev
         x_buf = ctypes.create_string_buffer(count * 32)
         rc = _NATIVE.rp_ts_x(ctypes.c_uint64(count), strobes,
                              ctypes.c_size_t(strobe_size), tb.tobytes(), x_buf)
         assert rc == 0
-        x = dev_scalars(x_buf.raw, count)
 
-        # stage 2: share scalars + IPP init (IPP runs over N = n*m)
-        a, b, gw, hw, t_x, t_xb, e_b = PS.stage2(
-            N, x, l0, l1, r0, r1, t0, t1, t2, zz_zpow,
-            vb.reshape(-1, m, count), t1b, t2b, ab, sb, yinv)
-        txs = canonical_rows((yield scalar_bytes_device(
-            jnp.stack([t_x, t_xb, e_b], axis=1))), 3)
+        # stage 2 (ONE launch): share scalars + IPP init (over N = n*m)
+        (txs_dev, a, b, gw, hw, t_x, t_xb, e_b) = PS.stage2_fused(
+            n, m, byte_rows(x_buf.raw, count), l0, l1, r0, r1, t0, t1, t2,
+            zz_zpow, red, vb_bytes, yinv)
+        txs = canonical_rows((yield txs_dev), 3)
         txs_blob = np.ascontiguousarray(
             txs.transpose(1, 0, 2).reshape(count, 96)).tobytes()
         w_buf = ctypes.create_string_buffer(count * 32)
@@ -288,18 +279,23 @@ class BatchProver:
                              ctypes.c_size_t(strobe_size), ctypes.c_uint64(N),
                              txs_blob, w_buf)
         assert rc == 0
-        w = dev_scalars(w_buf.raw, count)
+        w_bytes = byte_rows(w_buf.raw, count)
 
-        # IPP rounds (compact per-round base subsets)
+        # IPP rounds, ONE launch each: the fold of round k-1 fuses into
+        # round k's digit/MSM/compress program
         L_rows, R_rows = [], []
+        u_bytes = ui_bytes = None
         nk = N
         while nk > 1:
-            dig_l, dig_r = PS.round_digits_compact(N, nk, a, b, gw, hw, w)
-            tab_l, tab_r = self.round_tables[nk]
-            pts = jnp.concatenate([fixed_msm.msm_digits(tab_l, dig_l),
-                                   fixed_msm.msm_digits(tab_r, dig_r)],
-                                  axis=-1)
-            lr = yield C.compress_device(pts)
+            niels_l, niels_r = (t.ensure_niels() for t in self.round_tables[nk])
+            if nk == N:
+                lr_dev = PS.round_first_fused(N, niels_l, niels_r,
+                                              a, b, gw, hw, w_bytes)
+            else:
+                lr_dev, a, b, gw, hw = PS.roundk_fused(
+                    N, nk, niels_l, niels_r, a, b, gw, hw,
+                    u_bytes, ui_bytes, w_bytes)
+            lr = yield lr_dev
             L_rows.append(lr[:count])
             R_rows.append(lr[count:])
             u_buf = ctypes.create_string_buffer(count * 32)
@@ -308,13 +304,12 @@ class BatchProver:
                                      ctypes.c_size_t(strobe_size),
                                      lr.tobytes(), u_buf, ui_buf)
             assert rc == 0
-            u = dev_scalars(u_buf.raw, count)
-            uinv = dev_scalars(ui_buf.raw, count)
-            a, b, gw, hw = PS.round_fold(N, nk, a, b, gw, hw, u, uinv)
+            u_bytes = byte_rows(u_buf.raw, count)
+            ui_bytes = byte_rows(ui_buf.raw, count)
             nk //= 2
 
-        fin = canonical_rows((yield scalar_bytes_device(
-            PS.final_scalars(a, b, t_x, t_xb, e_b))), 5)
+        fin = canonical_rows((yield PS.final_fused(
+            N, a, b, gw, hw, u_bytes, ui_bytes, t_x, t_xb, e_b)), 5)
         for i, t in enumerate(transcripts):
             t.strobe.buf.raw = strobes.raw[i * strobe_size: (i + 1) * strobe_size]
 

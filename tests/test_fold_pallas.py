@@ -68,9 +68,26 @@ def test_digits_lanes_matches_oracle():
     N = FP.BLKN
     x, xv = _rand_limbs(rng, N)
     got = np.asarray(FP.digits_lanes(x))
-    exp = np.asarray(S.digits64(x))
-    assert (got == exp).all()
-    # digit recomposition round-trips the values
-    recon = [sum(int(got[w, i]) << (4 * w) for w in range(64))
+    assert got.shape == (64, N)
+    assert (got & 15).max() <= 8          # signed encoding: mag in [0, 8]
+    # signed digit recomposition round-trips the values mod l
+    recon = [sum((-1 if got[w, i] >= 16 else 1) * int(got[w, i] & 15)
+                 << (4 * w) for w in range(64)) % ELL
              for i in range(N)]
     assert recon == xv
+
+
+def test_digits_lanes_renormalizes_lazy_inputs():
+    """Inputs above 8 * 2^252 (lazy Barrett domain, up to ~2^257) must be
+    renormalized before the signed recode -- the digit value must equal the
+    input mod l, not alias."""
+    import random
+    rng = random.Random(10)
+    N = FP.BLKN
+    vals = [rng.randrange(ELL, 1 << 256) for _ in range(N)]
+    cols = np.stack([np.asarray(S._to_limbs(v, S.L)) for v in vals], axis=-1)
+    got = np.asarray(FP.digits_lanes(jnp.asarray(cols.astype(np.int32))))
+    recon = [sum((-1 if got[w, i] >= 16 else 1) * int(got[w, i] & 15)
+                 << (4 * w) for w in range(64)) % ELL
+             for i in range(N)]
+    assert recon == [v % ELL for v in vals]
