@@ -197,6 +197,75 @@ def from_wide_bytes(raw: jnp.ndarray) -> jnp.ndarray:
     return sreduce(sadd(smul(hi, r256), lo))
 
 
+# exponent bits of l - 2, MSB first, for the Fermat inversion ladder
+_INV_BITS = np.array([(ELL - 2) >> i & 1
+                      for i in range((ELL - 2).bit_length() - 1, -1, -1)],
+                     np.int32)
+
+
+def sinv(x: jnp.ndarray) -> jnp.ndarray:
+    """x^(l-2) mod l: per-lane Fermat inversion (x (L, P) lazy < 2^256 ->
+    lazy < ~5l).  The reference computes per-round IPP challenge inverses
+    on the CPU (src/inner_product_proof.rs:120); on device this keeps the
+    whole prover round loop inside one program.  A binary ladder over the
+    253 static exponent bits as a scan: ~500 smuls, lane-parallel."""
+    one = jnp.broadcast_to(jnp.asarray(ONE), x.shape)
+
+    def step(acc, bit):
+        sq = smul(acc, acc)
+        return jnp.where(bit != 0, smul(sq, x), sq), None
+
+    acc, _ = jax.lax.scan(step, one, jnp.asarray(_INV_BITS))
+    return acc
+
+
+_NEGL_260 = _to_limbs((1 << (LIMB_BITS * L)) - ELL, L + 1).astype(np.int32)
+
+
+def _exact_limbs_n(c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Sequential carry over n limb rows (inputs nonneg, fit in n limbs)."""
+    for k in range(n - 1):
+        cr = c[..., k: k + 1, :] >> LIMB_BITS
+        parts = []
+        if k > 0:
+            parts.append(c[..., :k, :])
+        parts.append(c[..., k: k + 1, :] & MASK)
+        parts.append(c[..., k + 1: k + 2, :] + cr)
+        if k + 2 < n:
+            parts.append(c[..., k + 2:, :])
+        c = jnp.concatenate(parts, axis=-2)
+    return c
+
+
+def canonical(x: jnp.ndarray) -> jnp.ndarray:
+    """(L, P) lazy value -> exact canonical limbs of x mod l (< l).
+
+    sreduce leaves a value < ~5l; up to four exact conditional
+    subtractions of l finish the job (r - l computed as
+    r + (b^20 - l) - b^20 with the borrow read off limb 20)."""
+    r = exact_limbs(sreduce(x))
+    negl = jnp.asarray(_NEGL_260)[:, None]
+    zero_top = jnp.zeros_like(r[..., :1, :])
+    for _ in range(4):
+        s = _exact_limbs_n(jnp.concatenate([r, zero_top], axis=-2) + negl,
+                           L + 1)
+        ge = s[..., L:, :] >= 1                    # r >= l
+        r = jnp.where(ge, s[..., :L, :], r)
+    return r
+
+
+def canonical_bytes32(x: jnp.ndarray) -> jnp.ndarray:
+    """(L, P) lazy value -> (P, 32) canonical little-endian scalar bytes
+    (the proof/transcript wire form; host twin: rp_reduce_wide + emit32)."""
+    c = canonical(x)
+    padded = jnp.concatenate([c, jnp.zeros_like(c[:2])], axis=0)
+    lo = padded[_BYTE_LIMB[:32], :]
+    hi = padded[_BYTE_LIMB[:32] + 1, :]
+    off = jnp.asarray(_BYTE_OFF[:32])[:, None]
+    b = ((lo >> off) | (hi << (LIMB_BITS - off))) & 255
+    return b.T.astype(jnp.uint8)
+
+
 def power_sequence(y: jnp.ndarray, n: int) -> jnp.ndarray:
     """y (L, P) -> (L, n, P): [1, y, y^2, .., y^(n-1)] (sequential scan)."""
     one = jnp.broadcast_to(jnp.asarray(ONE), y.shape)

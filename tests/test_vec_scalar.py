@@ -91,3 +91,38 @@ def test_power_sequence_and_tree_sum():
     total = ints(jax.jit(S.tree_sum)(seq))
     for j in range(4):
         assert total[j] % ELL == sum(pow(A_INT[j], i, ELL) for i in range(8)) % ELL
+
+
+def test_sinv_matches_oracle():
+    import numpy as np
+    from bulletproofs_tpu.core.scalar import Scalar, L as ELL
+    from bulletproofs_tpu.ops import vec_scalar as VS
+    rng = np.random.default_rng(11)
+    vals = [int.from_bytes(rng.bytes(32), "little") % ELL for _ in range(4)]
+    vals[0] = 1
+    x = np.stack([VS.const(v)[:, 0] for v in vals], axis=1)
+    inv = np.asarray(VS.canonical(VS.sinv(x)))
+    for i, v in enumerate(vals):
+        got = sum(int(inv[k, i]) << (13 * k) for k in range(VS.L))
+        assert got == pow(v, ELL - 2, ELL)
+
+
+def test_canonical_bytes32():
+    import numpy as np
+    from bulletproofs_tpu.core.scalar import L as ELL
+    from bulletproofs_tpu.ops import vec_scalar as VS
+    rng = np.random.default_rng(13)
+    # lazy values up to ~5l: build as a + b*c with known ints
+    raw = [int.from_bytes(rng.bytes(64), "little") for _ in range(3)]
+    raw += [0, ELL - 1, ELL, 5 * ELL - 1]
+    cols = []
+    for v in raw:
+        # spread into the lazy domain via from_wide_bytes
+        cols.append(v % (1 << 512))
+    wide = np.zeros((len(cols), 64), np.uint8)
+    for i, v in enumerate(cols):
+        wide[i] = np.frombuffer(v.to_bytes(64, "little"), np.uint8)
+    x = VS.from_wide_bytes(wide)
+    by = np.asarray(VS.canonical_bytes32(x))
+    for i, v in enumerate(cols):
+        assert int.from_bytes(by[i].tobytes(), "little") == v % ELL
