@@ -13,6 +13,7 @@ _CACHE_DIR = os.environ.get(
     "BPTPU_COMPILE_CACHE",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".jax_cache"))
+_EXPLICIT = "BPTPU_COMPILE_CACHE" in os.environ
 
 def _cpu_only() -> bool:
     # CPU AOT cache entries are keyed without the host's CPU feature set, so
@@ -25,7 +26,10 @@ def _cpu_only() -> bool:
 
 
 try:
-    if _CACHE_DIR and _CACHE_DIR != "0" and not _cpu_only():
+    # the cpu-only guard applies to the DEFAULT repo-local dir (which may
+    # travel across machines); an explicit BPTPU_COMPILE_CACHE dir is the
+    # caller's statement that it is host-local and safe (tests use /tmp)
+    if _CACHE_DIR and _CACHE_DIR != "0" and (_EXPLICIT or not _cpu_only()):
         os.makedirs(_CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -396,6 +396,67 @@ def msm_rows(tables: FixedBaseTables, coef_bytes: np.ndarray,
     return out[..., :qn]
 
 
+@jax.jit
+def _msm_digits_xla(niels: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA twin of the Pallas bucket kernel: a lax.scan over the
+    (table point, digit) stream with a one-hot 9-bucket mux, then the
+    weighted double-suffix bucket reduction.  Used off-TPU so the fused
+    prover program stays traceable on the CPU backend (interpret-mode
+    Pallas would unroll its grid into tens of millions of traced ops);
+    numerically identical to _fixed_msm by construction."""
+    s, qn = digits.shape
+    d2 = jnp.asarray(C.const("d2"))
+
+    # stream-major tensors for the scan: (S, 3, L, 1) and (S, Q)
+    stream = jnp.transpose(niels, (2, 0, 1, 3))
+
+    def step(buckets, xs):
+        pre, d = xs                                    # (3, L, 1), (Q,)
+        neg = (d >= 16)[None, :]
+        mag = d & 15
+        ypx = jnp.broadcast_to(pre[0], (L, qn))
+        ymx = jnp.broadcast_to(pre[1], (L, qn))
+        td2 = jnp.broadcast_to(pre[2], (L, qn))
+        pypx = jnp.where(neg, ymx, ypx)
+        pymx = jnp.where(neg, ypx, ymx)
+        ptd2 = jnp.where(neg, F.neg(td2), td2)
+        masks = [(mag == b)[None, :] for b in range(NUM_BUCKETS)]
+        cur = [jnp.zeros((L, qn), jnp.int32) for _ in range(4)]
+        for b in range(NUM_BUCKETS):
+            for c in range(4):
+                cur[c] = cur[c] + jnp.where(masks[b], buckets[b, c], 0)
+        X1, Y1, Z1, T1 = cur
+        A = F.mul(F.sub(Y1, X1), pymx)
+        B = F.mul(F.add(Y1, X1), pypx)
+        Cv = F.mul(T1, ptd2)
+        Dv = F.mul_small(Z1, 2)
+        E = F.sub(B, A)
+        Fv = F.sub(Dv, Cv)
+        G = F.add(Dv, Cv)
+        H = F.add(B, A)
+        new = jnp.stack([F.mul(E, Fv), F.mul(G, H), F.mul(Fv, G),
+                         F.mul(E, H)])
+        nb = [jnp.where(masks[b][None], new, buckets[b])
+              for b in range(NUM_BUCKETS)]
+        return jnp.stack(nb), None
+
+    buckets0 = jnp.broadcast_to(
+        C.identity(n=qn)[None], (NUM_BUCKETS, 4, L, qn)).astype(jnp.int32)
+    buckets, _ = jax.lax.scan(step, buckets0, (stream, digits))
+
+    # weighted reduction sum_b b * bucket[b]: double suffix scan
+    v = buckets                                        # (B, 4, L, Q)
+    for _ in range(2):
+        sh = 1
+        while sh < NUM_BUCKETS:
+            ident = jnp.broadcast_to(C.identity(n=qn)[None],
+                                     (sh, 4, L, qn)).astype(jnp.int32)
+            shifted = jnp.concatenate([v[sh:], ident], axis=0)
+            v = C.add(v, shifted)
+            sh *= 2
+    return v[1]
+
+
 def msm_digits_niels(niels: jnp.ndarray, digits: jnp.ndarray,
                      qblk: int = 512, kchunk: int = 16) -> jnp.ndarray:
     """Core of msm_digits over a raw (3, L, S, 1) Niels stream tensor --
@@ -403,6 +464,8 @@ def msm_digits_niels(niels: jnp.ndarray, digits: jnp.ndarray,
     tensors as arguments so one launch covers a whole protocol phase)."""
     s, qn = digits.shape
     assert s == niels.shape[2]
+    if not _on_tpu():
+        return _msm_digits_xla(niels, digits)
     pad_s = (-s) % kchunk
     if qn < qblk:
         qblk = max(256, 1 << max(0, qn - 1).bit_length())

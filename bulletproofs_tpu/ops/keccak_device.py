@@ -18,6 +18,7 @@ tests/test_keccak_device.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,11 +59,26 @@ def _rotl64(lo: jnp.ndarray, hi: jnp.ndarray, r: int):
     return ((hi << s) | (lo >> t), (lo << s) | (hi >> t))
 
 
+# round constants split into (lo, hi) uint32 pairs for indexing inside the
+# round loop
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+
+
+@jax.jit
 def f1600_words(words: jnp.ndarray) -> jnp.ndarray:
     """(50, ...) uint32 -> (50, ...) uint32: lane i = rows (2i lo, 2i+1 hi),
-    little-endian (matching the byte order of utils/keccak.f1600_state)."""
-    a = [(words[2 * i], words[2 * i + 1]) for i in range(25)]
-    for rnd in range(24):
+    little-endian (matching the byte order of utils/keccak.f1600_state).
+
+    jit-wrapped so the ~30 permutation call sites inside the fused prover
+    program share ONE traced subjaxpr, and the 24 rounds run under
+    lax.fori_loop -- the fully unrolled permutation (~7K scalar-ish ops)
+    sends the XLA CPU backend into minutes-long compiles."""
+    rc_lo = jnp.asarray(_RC_LO)
+    rc_hi = jnp.asarray(_RC_HI)
+
+    def round_body(rnd, words):
+        a = [(words[2 * i], words[2 * i + 1]) for i in range(25)]
         # theta
         c = []
         for x in range(5):
@@ -89,10 +105,10 @@ def f1600_words(words: jnp.ndarray) -> jnp.ndarray:
                 a[x + 5 * y] = (b[x + 5 * y][0] ^ (~b1[0] & b2[0]),
                                 b[x + 5 * y][1] ^ (~b1[1] & b2[1]))
         # iota
-        rc = int(_RC[rnd])
-        a[0] = (a[0][0] ^ np.uint32(rc & 0xFFFFFFFF),
-                a[0][1] ^ np.uint32(rc >> 32))
-    return jnp.stack([w for lane in a for w in lane])
+        a[0] = (a[0][0] ^ rc_lo[rnd], a[0][1] ^ rc_hi[rnd])
+        return jnp.stack([w for lane in a for w in lane])
+
+    return jax.lax.fori_loop(0, 24, round_body, words)
 
 
 def bytes_to_words(st: jnp.ndarray) -> jnp.ndarray:

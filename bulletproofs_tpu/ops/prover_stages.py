@@ -447,3 +447,272 @@ def final_fused(N: int, a, b, gw, hw, u_bytes, ui_bytes, t_x, t_xb, e_b):
     p = a.shape[-1]
     return S.limbs_to_bytes33(
         final_scalars(a, b, t_x, t_xb, e_b).reshape(L, 5 * p))
+
+
+# --------------------------------------------------------------------------
+# single-program prover
+#
+# The fused phase launches above still compile one executable per IPP round
+# width nk (roundk_fused is specialized on its static slot maps), i.e.
+# 3 + lg(nm) + 1 programs -- each costing ~90 s of first-execution time
+# through the device tunnel.  The functions below make the round body
+# SHAPE-UNIFORM by passing the slot maps as runtime gather indices, and put
+# the Fiat-Shamir transcript itself on device
+# (ops/transcript_device.DeviceStrobe over ops/keccak_device), so the whole
+# batched prove -- blinding expansion, all commitments, every challenge,
+# all lg(nm) rounds (a lax.scan), and the canonical output scalars -- is
+# ONE XLA program with zero host round-trips.
+# (Protocol twin: the host stage loop in native/prove_prep.cpp; reference
+# call stack src/range_proof/mod.rs:234-288 + inner_product_proof.rs:38-185.)
+# --------------------------------------------------------------------------
+
+
+def _dyn_round_maps(N: int):
+    """Per-round gather maps, stacked over the lg(N) rounds.
+
+    Returns (emit, folds): emit[k] covers the L/R digit emission at width
+    nk = N >> k; folds[k-1] covers the fold INTO width nk (rounds >= 1).
+    All arrays are numpy; the scan passes rounds 1.. as stacked xs."""
+    emit, folds = [], []
+    j = np.arange(N)
+    nk = N
+    while nk > 1:
+        h = nk // 2
+        s = j % nk
+        hi = s >= h
+        hi_sel = np.nonzero(hi)[0].astype(np.int32)
+        lo_sel = np.nonzero(~hi)[0].astype(np.int32)
+        L_bases = np.concatenate([[0], 2 + hi_sel, 2 + N + lo_sel]).astype(np.int32)
+        R_bases = np.concatenate([[0], 2 + lo_sel, 2 + N + hi_sel]).astype(np.int32)
+        w64 = np.arange(64, dtype=np.int32)
+        emit.append(dict(
+            idx_partner=np.where(j < h, j + h, 0).astype(np.int32),
+            mask_half=(j < h).astype(np.int32),
+            hi_sel=hi_sel, lo_sel=lo_sel,
+            al=(hi_sel % nk - h).astype(np.int32),
+            bl=(lo_sel % nk + h).astype(np.int32),
+            ar=(lo_sel % nk + h).astype(np.int32),
+            br=(hi_sel % nk - h).astype(np.int32),
+            sel_l=(L_bases[:, None] * 64 + w64[None, :]).reshape(-1),
+            sel_r=(R_bases[:, None] * 64 + w64[None, :]).reshape(-1),
+        ))
+        if nk < N:
+            folds.append(dict(
+                mask_fold=(j < nk).astype(np.int32),
+                idx_fold=np.where(j < nk, j + nk, 0).astype(np.int32),
+                glo=((j % (2 * nk)) < nk).astype(np.int32),
+            ))
+        nk //= 2
+    return emit, folds
+
+
+def fold_dyn(a, b, gw, hw, u, uinv, mask_fold, idx_fold, glo):
+    """Shape-uniform fold: new a[j] = u*a[j] + uinv*a[j+nk] for j < nk
+    (runtime maps), b with u/uinv swapped; gw/hw pick up u or uinv by the
+    lo/hi slot pattern.  Stale upper slots keep their old values (never
+    read by later rounds)."""
+    N, p = a.shape[1], a.shape[2]
+    m = (mask_fold != 0)[None, :, None]
+    g = (glo != 0)[None, :, None]
+    ah = jnp.take(a, idx_fold, axis=1)
+    bh = jnp.take(b, idx_fold, axis=1)
+    from . import fold_pallas as FP
+    if FP.usable(N * p):
+        bu = jnp.broadcast_to(u[:, None, :], (L, N, p)).reshape(L, N * p)
+        bui = jnp.broadcast_to(uinv[:, None, :], (L, N, p)).reshape(L, N * p)
+        na = FP.fold_lanes(a.reshape(L, N * p), ah.reshape(L, N * p),
+                           bu, bui).reshape(L, N, p)
+        nb = FP.fold_lanes(b.reshape(L, N * p), bh.reshape(L, N * p),
+                           bui, bu).reshape(L, N, p)
+        mul_g = jnp.where(g, _bcast(uinv, N), _bcast(u, N))
+        mul_h = jnp.where(g, _bcast(u, N), _bcast(uinv, N))
+        gw = FP.smul_lanes(gw.reshape(L, N * p),
+                           mul_g.reshape(L, N * p)).reshape(L, N, p)
+        hw = FP.smul_lanes(hw.reshape(L, N * p),
+                           mul_h.reshape(L, N * p)).reshape(L, N, p)
+    else:
+        na = _vadd(_vmul(a, _bcast(u, N)), _vmul(ah, _bcast(uinv, N)))
+        nb = _vadd(_vmul(b, _bcast(uinv, N)), _vmul(bh, _bcast(u, N)))
+        gw = _vmul(gw, jnp.where(g, _bcast(uinv, N), _bcast(u, N)))
+        hw = _vmul(hw, jnp.where(g, _bcast(u, N), _bcast(uinv, N)))
+    a = jnp.where(m, na, a)
+    b = jnp.where(m, nb, b)
+    return a, b, gw, hw
+
+
+def round_emit_dyn(a, b, gw, hw, w, em):
+    """round_digits_compact with runtime gather maps: -> (dig_l, dig_r)
+    each ((N/2*2+1)*64, P) signed digit streams over the base orders of
+    em['sel_l'] / em['sel_r']."""
+    mh = (em["mask_half"] != 0)[None, :, None]
+    bp = jnp.take(b, em["idx_partner"], axis=1)
+    ap = jnp.take(a, em["idx_partner"], axis=1)
+    cL = S.tree_sum(jnp.where(mh, _vmul(a, bp), 0))
+    cR = S.tree_sum(jnp.where(mh, _vmul(ap, b), 0))
+    alphaL = _vmul(jnp.take(a, em["al"], axis=1), jnp.take(gw, em["hi_sel"], axis=1))
+    betaL = _vmul(jnp.take(b, em["bl"], axis=1), jnp.take(hw, em["lo_sel"], axis=1))
+    alphaR = _vmul(jnp.take(a, em["ar"], axis=1), jnp.take(gw, em["lo_sel"], axis=1))
+    betaR = _vmul(jnp.take(b, em["br"], axis=1), jnp.take(hw, em["hi_sel"], axis=1))
+    coef_l = jnp.concatenate([_col(S.smul(cL, w)), alphaL, betaL], axis=1)
+    coef_r = jnp.concatenate([_col(S.smul(cR, w)), alphaR, betaR], axis=1)
+    return _coef_digits(coef_l), _coef_digits(coef_r)
+
+
+# entry/exit counters of every IPP round body: the last op before and
+# after each round is a 64-byte challenge PRF (forces a permutation, then
+# squeezes 64 bytes from position 0)
+_ROUND_COUNTERS = (64, 0, 7)   # pos, pos_begin, FLAG_I | FLAG_A | FLAG_C
+
+
+def prove_all_eager(n: int, m: int, pos0: int, pb0: int, fl0: int,
+                    niels, states0, key_nonce, v_bytes, vb_bytes, bits_u8,
+                    _scan: bool = False):
+    """The whole batched range prove as one program.
+
+    niels: (3, L, (2N+2)*64, 1) master window-table stream over
+    [B, B~, G.., H..]; states0: (200, P) STROBE states with shared
+    counters (pos0, pb0, fl0); key_nonce: (11,) uint32 ChaCha key for the
+    blinding draws; v_bytes/vb_bytes: (m*P, 32) value/blinding scalars
+    (party-major); bits_u8: (N, P) bit rows.
+
+    Returns (vas ((m+2)P, 32), tb (2P, 32), lr (lgN, 2P, 32),
+    fin (5, P, 32) canonical [t_x, t_x_blinding, e_blinding, a0, b0],
+    state_out (200, P)); final strobe counters are _ROUND_COUNTERS."""
+    from . import chacha
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+    from .transcript_device import DeviceStrobe
+
+    N = n * m
+    P = bits_u8.shape[-1]
+    R = N.bit_length() - 1
+    bits = bits_u8.astype(jnp.int32)
+
+    # blinding draws, expanded on device from the 256-bit seed
+    red = S.from_wide_bytes(chacha._keystream_blocks(key_nonce,
+                                                     P * (4 + 2 * N)))
+    ab, sb, t1b, t2b, sl, sr = _blind_slices(N, P, red)
+
+    # static table-stream views of the master Niels stream
+    w64 = np.arange(64, dtype=np.int32)
+    niels_bb = niels[:, :, : 2 * 64, :]
+    sel_a = np.asarray(a_stream_sel(N), np.int32)
+    sel_s = (np.asarray(s_base_sel(N), np.int32)[:, None] * 64
+             + w64[None, :]).reshape(-1)
+    niels_a = jnp.take(niels, jnp.asarray(sel_a), axis=2)
+    niels_s = jnp.take(niels, jnp.asarray(sel_s), axis=2)
+
+    # stage 0: V_j, A, S commitments
+    v_sc = S.from_bytes32(v_bytes)
+    vb_limbs = S.from_bytes32(vb_bytes)
+    vpts = FM.msm_digits_niels(niels_bb, v_digits(v_sc, vb_limbs))
+    apts = FM.msm_digits_niels(niels_a, a_digits(N, bits, ab))
+    spts = FM.msm_digits_niels(niels_s, s_digits(N, sb, sl, sr))
+    vas = C.compress_device(jnp.concatenate([vpts, apts, spts], axis=-1))
+
+    # transcript: dom-sep + V/A/S -> y, z
+    ts = DeviceStrobe(states0, pos0, pb0, fl0)
+    ts.rangeproof_domain_sep(n, m)
+    for j in range(m):
+        ts.append_rows(b"V", vas[j * P: (j + 1) * P].T)
+    ts.append_rows(b"A", vas[m * P: (m + 1) * P].T)
+    ts.append_rows(b"S", vas[(m + 1) * P:].T)
+    y = ts.challenge_scalar(b"y")
+    z = ts.challenge_scalar(b"z")
+    yinv = S.sinv(y)
+
+    # stage 1: l/r polys, T_1/T_2 -> x
+    l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = stage1(
+        n, m, bits, y, z, sl, sr, t1b, t2b)
+    tb = C.compress_device(FM.msm_digits_niels(niels_bb, tdig))
+    ts.append_rows(b"T_1", tb[:P].T)
+    ts.append_rows(b"T_2", tb[P:].T)
+    x = ts.challenge_scalar(b"x")
+
+    # stage 2: share scalars + IPP init -> w
+    a, b, gw, hw, t_x, t_xb, e_b = stage2(
+        N, x, l0, l1, r0, r1, t0, t1, t2, zz_zpow,
+        vb_limbs.reshape(L, m, P), t1b, t2b, ab, sb, yinv)
+    tx_by = S.canonical_bytes32(t_x)
+    txb_by = S.canonical_bytes32(t_xb)
+    eb_by = S.canonical_bytes32(e_b)
+    ts.append_rows(b"t_x", tx_by.T)
+    ts.append_rows(b"t_x_blinding", txb_by.T)
+    ts.append_rows(b"e_blinding", eb_by.T)
+    w = ts.challenge_scalar(b"w")
+    ts.innerproduct_domain_sep(N)
+
+    emit, folds = _dyn_round_maps(N)
+
+    def _emit_round(em_np, a, b, gw, hw, sel_is_static):
+        em = {k: (jnp.asarray(v) if sel_is_static else v)
+              for k, v in em_np.items()}
+        dig_l, dig_r = round_emit_dyn(a, b, gw, hw, w, em)
+        nl = jnp.take(niels, em["sel_l"], axis=2)
+        nr = jnp.take(niels, em["sel_r"], axis=2)
+        pts = jnp.concatenate([FM.msm_digits_niels(nl, dig_l),
+                               FM.msm_digits_niels(nr, dig_r)], axis=-1)
+        return C.compress_device(pts)
+
+    # round 0 (no fold)
+    lr0 = _emit_round(emit[0], a, b, gw, hw, True)
+    ts.append_rows(b"L", lr0[:P].T)
+    ts.append_rows(b"R", lr0[P:].T)
+    u = ts.challenge_scalar(b"u")
+    uinv = S.sinv(u)
+    assert ts.counters() == _ROUND_COUNTERS
+
+    if R > 1:
+        def body(carry, em):
+            a, b, gw, hw, u, uinv, st = carry
+            a, b, gw, hw = fold_dyn(a, b, gw, hw, u, uinv,
+                                    em["mask_fold"], em["idx_fold"], em["glo"])
+            lr = _emit_round(em, a, b, gw, hw, False)
+            ts = DeviceStrobe(st, *_ROUND_COUNTERS)
+            ts.append_rows(b"L", lr[:P].T)
+            ts.append_rows(b"R", lr[P:].T)
+            u = ts.challenge_scalar(b"u")
+            uinv = S.sinv(u)
+            assert ts.counters() == _ROUND_COUNTERS
+            return (a, b, gw, hw, u, uinv, ts.st), lr
+
+        carry = (a, b, gw, hw, u, uinv, ts.st)
+        if _scan:
+            xs = {k: jnp.asarray(np.stack([em[k] for em in emit[1:]]))
+                  for k in emit[0]}
+            for k in folds[0]:
+                xs[k] = jnp.asarray(np.stack([f[k] for f in folds]))
+            carry, lr_rest = jax.lax.scan(body, carry, xs)
+            lr_all = jnp.concatenate([lr0[None], lr_rest], axis=0)
+        else:
+            # off-TPU (eager tests): a Python loop avoids handing the XLA
+            # CPU compiler the whole scan body as one program
+            lrs = [lr0]
+            for k in range(1, R):
+                em = dict(emit[k])
+                em.update(folds[k - 1])
+                em = {kk: jnp.asarray(vv) for kk, vv in em.items()}
+                carry, lr = body(carry, em)
+                lrs.append(lr)
+            lr_all = jnp.stack(lrs)
+        a, b, gw, hw, u, uinv, st = carry
+    else:
+        st = ts.st
+        lr_all = lr0[None]
+
+    # final fold 2 -> 1 and canonical proof scalars
+    a0 = S.sadd(S.smul(a[:, 0], u), S.smul(a[:, 1], uinv))
+    b0 = S.sadd(S.smul(b[:, 0], uinv), S.smul(b[:, 1], u))
+    fin = jnp.stack([tx_by, txb_by, eb_by,
+                     S.canonical_bytes32(a0), S.canonical_bytes32(b0)])
+    return vas, tb, lr_all, fin, st
+
+
+# On TPU the whole prove is ONE jitted program (compile amortized by the
+# persistent cache; first-execution pays the single tunnel upload).  Off
+# TPU (CPU tests) the eager variant runs the same code path with only the
+# small nested jits (f1600, the XLA MSM, sinv, stage1/2) compiled -- the
+# fused graph is too large for the XLA-CPU compiler to digest in test time.
+prove_all_fused = functools.partial(
+    jax.jit, static_argnums=(0, 1, 2, 3, 4))(
+        functools.partial(prove_all_eager, _scan=True))

@@ -203,6 +203,7 @@ _INV_BITS = np.array([(ELL - 2) >> i & 1
                      np.int32)
 
 
+@jax.jit
 def sinv(x: jnp.ndarray) -> jnp.ndarray:
     """x^(l-2) mod l: per-lane Fermat inversion (x (L, P) lazy < 2^256 ->
     lazy < ~5l).  The reference computes per-round IPP challenge inverses

@@ -88,6 +88,8 @@ class BatchProver:
         self.tables = fixed_msm.FixedBaseTables(bases)
         self.tables_bb = fixed_msm.FixedBaseTables(bases[:2])
         self.force_device = False    # tests: exercise the device path on CPU
+        self.fused = True            # ONE-program device prove (set False to
+                                     # exercise the per-stage legacy pipeline)
         from ..ops import prover_stages as PS
         # compact stage-0 streams: A touches only window 0 of each G/H
         # (coefficients in {0, +-1}); S drops the zero-coefficient B column
@@ -131,6 +133,9 @@ class BatchProver:
                 if v < 0 or v >> self.n:
                     raise ValueError(f"value out of range for {self.n}-bit proof")
         if fixed_msm._on_tpu() or self.force_device:
+            if self.fused and self._counters_uniform(transcripts):
+                return self._prove_batch_device_fused(
+                    values, blindings, transcripts, rng)
             return self._prove_batch_device(values, blindings, transcripts, rng)
         if self.m > 1:
             # no C++ aggregated stage engine: use the protocol path (native
@@ -145,6 +150,88 @@ class BatchProver:
         return self._prove_batch_host(
             [vs[0] for vs in values], [bs[0] for bs in blindings],
             transcripts, rng)
+
+    # -- fused device path: EVERYTHING (incl. Fiat-Shamir) in one program ----
+
+    @staticmethod
+    def _counters_uniform(transcripts) -> bool:
+        """The fused program traces the STROBE positions statically, so all
+        transcripts in a batch must enter with the same counters (true for
+        any same-length labels; arbitrary prior content falls back)."""
+        bufs = [getattr(t.strobe, "buf", None) for t in transcripts]
+        if any(b is None for b in bufs):
+            return False
+        first = bufs[0].raw[200:203]
+        return all(b.raw[200:203] == first for b in bufs)
+
+    def _prove_batch_device_fused(self, values, blindings, transcripts, rng):
+        """One jit launch for the whole batch: device transcripts
+        (ops/transcript_device), device blinding expansion, all MSMs, the
+        scan-uniform IPP round loop, canonical output scalars.  One upload
+        (inputs), one download (proof bytes + final transcript states)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import prover_stages as PS
+
+        n, m, N, count = self.n, self.m, self.N, len(values)
+        bufs = [t.strobe.buf.raw for t in transcripts]
+        pos0, pb0, fl0 = bufs[0][200], bufs[0][201], bufs[0][202]
+        states0 = np.frombuffer(b"".join(b[:200] for b in bufs),
+                                np.uint8).reshape(count, 200).T.copy()
+
+        v_bytes = jnp.asarray(np.frombuffer(
+            b"".join(int(values[p][j]).to_bytes(32, "little")
+                     for j in range(m) for p in range(count)),
+            np.uint8).reshape(m * count, 32))
+        vb_bytes = jnp.asarray(np.frombuffer(
+            b"".join(blindings[p][j].to_bytes()
+                     for j in range(m) for p in range(count)),
+            np.uint8).reshape(m * count, 32))
+        vals_np = np.array([[int(values[p][j]) for p in range(count)]
+                            for j in range(m)], np.uint64)
+        shifts = np.arange(n, dtype=np.uint64)
+        bits_u8 = ((vals_np[:, None, :] >> shifts[None, :, None]) & 1) \
+            .reshape(N, count).astype(np.uint8)
+
+        kn = np.zeros(11, np.uint32)
+        kn[:8] = np.frombuffer(rng.randbytes(32), "<u4")
+
+        fn = (PS.prove_all_fused if fixed_msm._on_tpu()
+              else PS.prove_all_eager)
+        vas, tb, lr_all, fin, st = (np.asarray(x) for x in jax.device_get(
+            fn(n, m, pos0, pb0, fl0,
+               self.tables.ensure_niels(),
+               jnp.asarray(states0), jnp.asarray(kn),
+               v_bytes, vb_bytes, jnp.asarray(bits_u8))))
+
+        posf, pbf, flf = PS._ROUND_COUNTERS
+        for i, t in enumerate(transcripts):
+            buf = bytearray(t.strobe.buf.raw)
+            buf[:200] = st[:, i].tobytes()
+            buf[200], buf[201], buf[202] = posf, pbf, flf
+            t.strobe.buf.raw = bytes(buf)
+
+        proofs, vcs = [], []
+        for p in range(count):
+            ipp = InnerProductProof(
+                L_vec=[bytes(lr_all[k, p]) for k in range(lr_all.shape[0])],
+                R_vec=[bytes(lr_all[k, count + p])
+                       for k in range(lr_all.shape[0])],
+                a=Scalar.from_canonical_bytes(fin[3, p].tobytes()),
+                b=Scalar.from_canonical_bytes(fin[4, p].tobytes()))
+            proofs.append(RangeProof(
+                A=bytes(vas[m * count + p]),
+                S=bytes(vas[(m + 1) * count + p]),
+                T_1=bytes(tb[p]), T_2=bytes(tb[count + p]),
+                t_x=Scalar.from_canonical_bytes(fin[0, p].tobytes()),
+                t_x_blinding=Scalar.from_canonical_bytes(fin[1, p].tobytes()),
+                e_blinding=Scalar.from_canonical_bytes(fin[2, p].tobytes()),
+                ipp_proof=ipp))
+            if m == 1:
+                vcs.append(bytes(vas[p]))
+            else:
+                vcs.append([bytes(vas[j * count + p]) for j in range(m)])
+        return proofs, vcs
 
     # -- device path: Fiat-Shamir on host, everything else on device --------
 

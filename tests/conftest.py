@@ -13,9 +13,11 @@ import os
 if not os.environ.get("BPTPU_TEST_TPU"):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
-# No persistent XLA cache in tests: CPU AOT entries compiled on a different
-# machine (the TPU tunnel host) can be feature-mismatched with this host.
-os.environ["BPTPU_COMPILE_CACHE"] = "0"
+# Host-local persistent XLA cache for tests: /tmp is never copied across
+# machines, so CPU AOT entries (keyed without the CPU feature set) cannot
+# SIGILL here; repeat suite runs then skip the XLA-CPU compile cost.  The
+# repo-local .jax_cache stays TPU-only (see ops/__init__.py).
+os.environ.setdefault("BPTPU_COMPILE_CACHE", "/tmp/bptpu_cpu_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
