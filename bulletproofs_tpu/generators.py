@@ -92,6 +92,8 @@ class BulletproofGens:
                 GeneratorsChain(b"H" + label).fast_forward(self.gens_capacity).take(grow))
         self.gens_capacity = new_capacity
         self._device_cache.clear()
+        if hasattr(self, "_ipp_basis_cache"):
+            self._ipp_basis_cache.clear()
 
     def share(self, j: int) -> "BulletproofGensShare":
         return BulletproofGensShare(self, j)

@@ -172,11 +172,28 @@ class DealerAwaitingProofShares(_OneShot):
         l_vec = [s for ps in proof_shares for s in ps.l_vec]
         r_vec = [s for ps in proof_shares for s in ps.r_vec]
 
+        G_pts = list(self.bp_gens.G(self.n, self.m))
+        H_pts = list(self.bp_gens.H(self.n, self.m))
+        # packed [G | H] basis for the native IPP round loop, cached per
+        # (n, m) on the generator object (generators are immutable per
+        # capacity; resizing replaces the vectors, so clear on growth --
+        # see BulletproofGens.increase_capacity)
+        packed = None
+        try:
+            from ..core.ristretto import _NATIVE, pack_points
+            if _NATIVE is not None:
+                cache = getattr(self.bp_gens, "_ipp_basis_cache", None)
+                if cache is None:
+                    cache = self.bp_gens._ipp_basis_cache = {}
+                packed = cache.get((self.n, self.m))
+                if packed is None:
+                    packed = cache[(self.n, self.m)] = pack_points(G_pts + H_pts)
+        except Exception:
+            packed = None
+
         ipp_proof = InnerProductProof.create(
-            self.transcript, Q, G_factors, H_factors,
-            list(self.bp_gens.G(self.n, self.m)),
-            list(self.bp_gens.H(self.n, self.m)),
-            l_vec, r_vec)
+            self.transcript, Q, G_factors, H_factors, G_pts, H_pts,
+            l_vec, r_vec, packed_gh=packed)
 
         return RangeProof(
             A=self.A.compress(), S=self.S.compress(),

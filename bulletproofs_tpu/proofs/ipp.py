@@ -38,10 +38,15 @@ class InnerProductProof:
     def create(cls, transcript: Transcript, Q: RistrettoPoint,
                G_factors: List[Scalar], H_factors: List[Scalar],
                G: List[RistrettoPoint], H: List[RistrettoPoint],
-               a: List[Scalar], b: List[Scalar]) -> "InnerProductProof":
+               a: List[Scalar], b: List[Scalar],
+               packed_gh: bytes = None) -> "InnerProductProof":
         """Prover (reference src/inner_product_proof.rs:38-196).
 
         Takes ownership of G/H/a/b (they are consumed by in-place halving).
+        `packed_gh` optionally supplies the [G | H] extended-coordinate
+        blob (pack_points(G + H)) so repeat provers over the same
+        generator set skip the per-call packing (dealer caches it on the
+        BulletproofGens object).
         """
         n = len(G)
         assert len(H) == n and len(a) == n and len(b) == n
@@ -72,7 +77,9 @@ class InnerProductProof:
             # incl. c_L/c_R, then fold) plus two native MSM+compress calls.
             # Python only orchestrates the lg(n) transcript interactions.
             import ctypes as _ct
-            basis = pack_points(list(G) + list(H) + [Q])
+            if packed_gh is None:
+                packed_gh = pack_points(list(G) + list(H))
+            basis = packed_gh + pack_points([Q])
             total = 2 * n_full + 1
 
             def _pack_sc(xs):

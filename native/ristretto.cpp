@@ -33,6 +33,80 @@ int rist_bit_commit_ifma(size_t n, uint64_t v, const uint8_t* Gs,
 int rist_batch_decompress_ifma(size_t n, const uint8_t* in, uint8_t* out,
                                uint8_t* ok);
 
+// width-5 NAF recode (vartime): digits odd in [-15, 15]; returns length.
+// Scalars are < l < 2^253, so <= 255 digits (+1 carry slot).
+static int sc_wnaf5(const uint8_t s[32], int8_t naf[256]) {
+  uint64_t x[4];
+  memcpy(x, s, 32);
+  memset(naf, 0, 256);
+  int i = 0, len = 0;
+  while (x[0] | x[1] | x[2] | x[3]) {
+    if (x[0] & 1) {
+      int d = (int)(x[0] & 31);
+      if (d > 16) d -= 32;
+      naf[i] = (int8_t)d;
+      len = i + 1;
+      // x -= d (d odd, |d| <= 15; when d < 0 this is x += |d|)
+      if (d > 0) {
+        uint64_t b = (uint64_t)d;
+        for (int k = 0; k < 4; ++k) {
+          uint64_t nv = x[k] - b;
+          b = nv > x[k] ? 1 : 0;
+          x[k] = nv;
+        }
+      } else {
+        uint64_t cst = (uint64_t)(-d);
+        for (int k = 0; k < 4 && cst; ++k) {
+          uint64_t nv = x[k] + cst;
+          cst = nv < x[k] ? 1 : 0;
+          x[k] = nv;
+        }
+      }
+    }
+    // x >>= 1
+    x[0] = (x[0] >> 1) | (x[1] << 63);
+    x[1] = (x[1] >> 1) | (x[2] << 63);
+    x[2] = (x[2] >> 1) | (x[3] << 63);
+    x[3] >>= 1;
+    ++i;
+  }
+  return len;
+}
+
+// Joint Straus over wNAF digits: one shared doubling chain, per-point odd
+// multiple tables {P, 3P, .., 15P}.  For small n this beats Pippenger,
+// whose per-window bucket reduction has an n-independent floor (the
+// reference's dalek backend likewise switches Straus <-> Pippenger on
+// size).  Callers pass compacted (nonzero-scalar) inputs.
+static void rist_msm_straus(size_t n, const std::vector<Ge>& pts,
+                            const std::vector<const uint8_t*>& scs, Ge& acc) {
+  std::vector<Ge> table(n * 8);
+  std::vector<int8_t> naf(n * 256);
+  int maxlen = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int len = sc_wnaf5(scs[i], &naf[256 * i]);
+    if (len > maxlen) maxlen = len;
+    Ge p2;
+    ge_dbl(p2, pts[i]);
+    table[8 * i] = pts[i];
+    for (int k = 1; k < 8; ++k) ge_add(table[8 * i + k], table[8 * i + k - 1], p2);
+  }
+  acc = GE_IDENTITY;
+  for (int j = maxlen - 1; j >= 0; --j) {
+    ge_dbl(acc, acc);
+    for (size_t i = 0; i < n; ++i) {
+      int d = naf[256 * i + j];
+      if (d > 0) {
+        ge_add(acc, acc, table[8 * i + (d >> 1)]);
+      } else if (d < 0) {
+        Ge nn;
+        ge_neg(nn, table[8 * i + ((-d) >> 1)]);
+        ge_add(acc, acc, nn);
+      }
+    }
+  }
+}
+
 // out = sum_i scalars[i] * points[i]; vartime bucketed Pippenger.
 void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
               uint8_t out[128]) {
@@ -61,6 +135,12 @@ void rist_msm(size_t n, const uint8_t* scalars, const uint8_t* points,
   n = pts.size();
   if (n == 0) {
     ge_to_ext_bytes(out, GE_IDENTITY);
+    return;
+  }
+  if (n < 48) {
+    Ge acc;
+    rist_msm_straus(n, pts, scs, acc);
+    ge_to_ext_bytes(out, acc);
     return;
   }
 

@@ -62,6 +62,8 @@ int rist_msm_ifma(size_t n, const uint8_t* scalars, const uint8_t* points,
     ge_to_ext_bytes(out, GE_IDENTITY);
     return 1;
   }
+  if (n < 32) return 0;  // small effective size: the scalar backend's
+                         // joint-Straus wNAF path beats paired Pippenger
 
   const int c = n < 32 ? 4 : (n < 256 ? 6 : (n < 1024 ? 7 : (n < 8192 ? 9 : (n < 32768 ? 11 : 13))));
   const int nwin = (253 + c - 1) / c + 1;
