@@ -90,6 +90,17 @@ def _load():
         lib.ipp_round_scalars.restype = None
         lib.ipp_fold.argtypes = [sz, sz] + [ctypes.c_char_p] * 6
         lib.ipp_fold.restype = None
+        # R1CS vector stages (large-circuit host path)
+        lib.r1cs_lr_polys.argtypes = [sz] + [ctypes.c_char_p] * 17
+        lib.r1cs_lr_polys.restype = None
+        lib.r1cs_lr_eval.argtypes = [sz, sz] + [ctypes.c_char_p] * 11
+        lib.r1cs_lr_eval.restype = None
+        lib.r1cs_verify_scalars.argtypes = [sz, sz, sz] + [ctypes.c_char_p] * 14
+        lib.r1cs_verify_scalars.restype = None
+        lib.sc_vec_axpy.argtypes = [sz] + [ctypes.c_char_p] * 3
+        lib.sc_vec_axpy.restype = None
+        lib.r1cs_hg_factors.argtypes = [sz, sz] + [ctypes.c_char_p] * 4
+        lib.r1cs_hg_factors.restype = None
         del u8p
         return lib
     except (OSError, AttributeError):

@@ -39,18 +39,24 @@ class InnerProductProof:
                G_factors: List[Scalar], H_factors: List[Scalar],
                G: List[RistrettoPoint], H: List[RistrettoPoint],
                a: List[Scalar], b: List[Scalar],
-               packed_gh: bytes = None) -> "InnerProductProof":
+               packed_gh: bytes = None,
+               packed_scalars=None, n: int = None) -> "InnerProductProof":
         """Prover (reference src/inner_product_proof.rs:38-196).
 
         Takes ownership of G/H/a/b (they are consumed by in-place halving).
         `packed_gh` optionally supplies the [G | H] extended-coordinate
         blob (pack_points(G + H)) so repeat provers over the same
         generator set skip the per-call packing (dealer caches it on the
-        BulletproofGens object).
+        BulletproofGens object).  `packed_scalars=(a, b, g_factors,
+        h_factors)` -- each n*32 packed bytes -- feeds the native round
+        loop directly (the large-circuit R1CS prover stays in byte-land);
+        G/H/a/b lists may then be empty with `n` given explicitly.
         """
-        n = len(G)
-        assert len(H) == n and len(a) == n and len(b) == n
-        assert len(G_factors) == n and len(H_factors) == n
+        if n is None:
+            n = len(G)
+        if packed_scalars is None:
+            assert len(H) == n and len(a) == n and len(b) == n
+            assert len(G_factors) == n and len(H_factors) == n
         assert n & (n - 1) == 0, "n must be a power of two"
 
         transcript.innerproduct_domain_sep(n)
@@ -71,6 +77,9 @@ class InnerProductProof:
         n_full = n
         from ..core.ristretto import _NATIVE, pack_points
 
+        if packed_scalars is not None and _NATIVE is None:
+            raise RuntimeError("packed-scalar IPP create requires the "
+                               "native backend")
         if _NATIVE is not None and n > 1:
             # Fully-native round loop: pack the fixed basis [G | H | Q] and
             # the scalar state once; each round is two C calls (scalar prep
@@ -86,10 +95,17 @@ class InnerProductProof:
                 data = b"".join(s.v.to_bytes(32, "little") for s in xs)
                 return _ct.create_string_buffer(data, len(data))
 
-            a_buf = _pack_sc(a)
-            b_buf = _pack_sc(b)
-            g_buf = _pack_sc(G_factors)
-            h_buf = _pack_sc(H_factors)
+            if packed_scalars is not None:
+                a_raw, b_raw, gf_raw, hf_raw = packed_scalars
+                a_buf = _ct.create_string_buffer(bytes(a_raw), 32 * n)
+                b_buf = _ct.create_string_buffer(bytes(b_raw), 32 * n)
+                g_buf = _ct.create_string_buffer(bytes(gf_raw), 32 * n)
+                h_buf = _ct.create_string_buffer(bytes(hf_raw), 32 * n)
+            else:
+                a_buf = _pack_sc(a)
+                b_buf = _pack_sc(b)
+                g_buf = _pack_sc(G_factors)
+                h_buf = _pack_sc(H_factors)
             scL = _ct.create_string_buffer(32 * total)
             scR = _ct.create_string_buffer(32 * total)
             cL32 = _ct.create_string_buffer(32)

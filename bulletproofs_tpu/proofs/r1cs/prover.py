@@ -22,12 +22,18 @@ from ...core.scalar import Scalar
 from ...errors import R1CSError
 from ...generators import BulletproofGens, PedersenGens
 from ...transcript import Transcript
-from ...utils.util import VecPoly3, Poly6, exp_iter_take
+from ...utils.util import (VecPoly3, Poly6, exp_iter_take,
+                           scalar_exp_vartime)
 from ..ipp import InnerProductProof
 from .constraint_system import (ConstraintSystem, RandomizableConstraintSystem,
                                 RandomizedConstraintSystem)
 from .linear_combination import LinearCombination, Variable, to_lc
 from .proof import R1CSProof, _IDENTITY
+
+
+# circuits at or above this multiplier count route their O(n) scalar
+# vector math through the native backend (tests lower it to cross-check)
+_NATIVE_MIN_N = 1024
 
 
 class _SysRandom:
@@ -250,24 +256,45 @@ class Prover(RandomizableConstraintSystem):
 
         wL, wR, wO, wV = self.flattened_constraints(z)
 
-        l_poly = VecPoly3.zero(n)
-        r_poly = VecPoly3.zero(n)
-        exp_y = Scalar.one()
-        y_inv = y.invert()
-        exp_y_inv = exp_iter_take(y_inv, padded_n)
-
         sL = s_L1 + s_L2
         sR = s_R1 + s_R2
-        for i in range(n):
-            l_poly.c[1][i] = self.a_L[i] + exp_y_inv[i] * wR[i]
-            l_poly.c[2][i] = self.a_O[i]
-            l_poly.c[3][i] = sL[i]
-            r_poly.c[0][i] = wO[i] - exp_y
-            r_poly.c[1][i] = exp_y * self.a_R[i] + wL[i]
-            r_poly.c[3][i] = exp_y * sR[i]
-            exp_y = exp_y * y
+        y_inv = y.invert()
 
-        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+        from ...core._native import LIB as _NV
+        use_native_vecs = _NV is not None and n >= _NATIVE_MIN_N
+        if use_native_vecs:
+            # large-circuit path: the O(n) scalar vector math runs in the
+            # native backend on packed 32-byte scalars (same formulas,
+            # prover.rs:549-579); Python keeps only the transcript flow
+            import ctypes as _ct
+
+            def pk(xs):
+                return b"".join(s.to_bytes() for s in xs)
+
+            vecs = [_ct.create_string_buffer(32 * n) for _ in range(6)]
+            t_out = _ct.create_string_buffer(32 * 6)
+            _NV.r1cs_lr_polys(n, y.to_bytes(), y_inv.to_bytes(),
+                              pk(self.a_L), pk(self.a_R), pk(self.a_O),
+                              pk(sL), pk(sR), pk(wL), pk(wR), pk(wO),
+                              *vecs, t_out)
+            t_poly = Poly6(*[Scalar(int.from_bytes(
+                t_out.raw[32 * k: 32 * k + 32], "little")) for k in range(6)])
+            l_poly = r_poly = None
+        else:
+            exp_y_iter = Scalar.one()
+            exp_y_inv = exp_iter_take(y_inv, padded_n)
+            l_poly = VecPoly3.zero(n)
+            r_poly = VecPoly3.zero(n)
+            for i in range(n):
+                l_poly.c[1][i] = self.a_L[i] + exp_y_inv[i] * wR[i]
+                l_poly.c[2][i] = self.a_O[i]
+                l_poly.c[3][i] = sL[i]
+                r_poly.c[0][i] = wO[i] - exp_y_iter
+                r_poly.c[1][i] = exp_y_iter * self.a_R[i] + wL[i]
+                r_poly.c[3][i] = exp_y_iter * sR[i]
+                exp_y_iter = exp_y_iter * y
+
+            t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
 
         t_1_blinding = Scalar.random(det_rng)
         t_3_blinding = Scalar.random(det_rng)
@@ -300,11 +327,23 @@ class Prover(RandomizableConstraintSystem):
 
         t_x = t_poly.eval(x)
         t_x_blinding = t_blinding_poly.eval(x)
-        l_vec = l_poly.eval(x) + [Scalar.zero()] * pad
-        r_vec = r_poly.eval(x) + [Scalar.zero()] * pad
-        for i in range(n, padded_n):
-            r_vec[i] = -exp_y
-            exp_y = exp_y * y
+        if use_native_vecs:
+            import ctypes as _ct
+            l_buf = _ct.create_string_buffer(32 * padded_n)
+            r_buf = _ct.create_string_buffer(32 * padded_n)
+            y_n = scalar_exp_vartime(y, n)
+            _NV.r1cs_lr_eval(n, padded_n, x.to_bytes(), y.to_bytes(),
+                             y_n.to_bytes(), vecs[0].raw, vecs[1].raw,
+                             vecs[2].raw, vecs[3].raw, vecs[4].raw,
+                             vecs[5].raw, l_buf, r_buf)
+            l_vec = r_vec = None
+        else:
+            exp_y = scalar_exp_vartime(y, n)
+            l_vec = l_poly.eval(x) + [Scalar.zero()] * pad
+            r_vec = r_poly.eval(x) + [Scalar.zero()] * pad
+            for i in range(n, padded_n):
+                r_vec[i] = -exp_y
+                exp_y = exp_y * y
 
         i_blinding = i_blinding1 + u * i_blinding2
         o_blinding = o_blinding1 + u * o_blinding2
@@ -318,12 +357,34 @@ class Prover(RandomizableConstraintSystem):
         w = transcript.challenge_scalar(b"w")
         Q = self.pc_gens.B.scalar_mul(w)
 
-        G_factors = [Scalar.one()] * n1 + [u] * (n2 + pad)
-        H_factors = [yi * ui for yi, ui in zip(exp_y_inv, G_factors)]
-
-        ipp_proof = InnerProductProof.create(
-            transcript, Q, G_factors, H_factors,
-            list(gens.G(padded_n)), list(gens.H(padded_n)), l_vec, r_vec)
+        if use_native_vecs:
+            import ctypes as _ct
+            gf_buf = _ct.create_string_buffer(32 * padded_n)
+            hf_buf = _ct.create_string_buffer(32 * padded_n)
+            _NV.r1cs_hg_factors(padded_n, n1, y_inv.to_bytes(),
+                                u.to_bytes(), gf_buf, hf_buf)
+            cache = getattr(bp_gens, "_ipp_basis_cache", None)
+            if cache is None:
+                cache = bp_gens._ipp_basis_cache = {}
+            packed_gh = cache.get((padded_n, 1))
+            if packed_gh is None:
+                from ...core.ristretto import pack_points
+                packed_gh = cache[(padded_n, 1)] = pack_points(
+                    list(gens.G(padded_n)) + list(gens.H(padded_n)))
+            ipp_proof = InnerProductProof.create(
+                transcript, Q, [], [], [], [], [], [],
+                packed_gh=packed_gh,
+                packed_scalars=(l_buf.raw, r_buf.raw, gf_buf.raw, hf_buf.raw),
+                n=padded_n)
+            for buf in vecs + [l_buf, r_buf]:
+                _ct.memset(buf, 0, _ct.sizeof(buf))
+        else:
+            exp_y_inv = exp_iter_take(y_inv, padded_n)
+            G_factors = [Scalar.one()] * n1 + [u] * (n2 + pad)
+            H_factors = [yi * ui for yi, ui in zip(exp_y_inv, G_factors)]
+            ipp_proof = InnerProductProof.create(
+                transcript, Q, G_factors, H_factors,
+                list(gens.G(padded_n)), list(gens.H(padded_n)), l_vec, r_vec)
 
         # best-effort wipe of the blinding vectors and secret polys
         # (reference prover.rs:672-679 zeroizes s_L/s_R; the poly types
@@ -332,8 +393,9 @@ class Prover(RandomizableConstraintSystem):
         s_R1.clear()
         s_L2.clear()
         s_R2.clear()
-        l_poly.wipe()
-        r_poly.wipe()
+        if l_poly is not None:
+            l_poly.wipe()
+            r_poly.wipe()
         t_poly.wipe()
         t_blinding_poly.wipe()
 

@@ -23,6 +23,10 @@ from .linear_combination import LinearCombination, Variable, to_lc
 from .proof import R1CSProof
 
 
+# see prover._NATIVE_MIN_N
+_NATIVE_MIN_N = 1024
+
+
 class _SysRandom:
     @staticmethod
     def randbytes(n):
@@ -213,31 +217,79 @@ class Verifier(RandomizableConstraintSystem):
 
         wL, wR, wO, wV, wc = self.flattened_constraints(z)
 
-        try:
-            u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(
-                padded_n, transcript)
-        except Exception:
-            raise R1CSError(R1CSError.VERIFICATION)
-
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
-
         y_inv = y.invert()
-        y_inv_vec = exp_iter_take(y_inv, padded_n)
-        yneg_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] + [Scalar.zero()] * pad
 
-        delta = inner_product(yneg_wR[:n], wL)
+        from ...core._native import LIB as _NV
+        if _NV is not None and padded_n >= _NATIVE_MIN_N:
+            # large-circuit path: challenges replayed here, then the
+            # s-vector and g/h scalar streams (verifier.rs:398-445) run in
+            # the native backend on packed scalars
+            ipp = proof.ipp_proof
+            lg_n = len(ipp.L_vec)
+            if lg_n >= 32 or padded_n != (1 << lg_n) or a is None or b is None:
+                raise R1CSError(R1CSError.VERIFICATION)
+            transcript.innerproduct_domain_sep(padded_n)
+            chal = []
+            try:
+                for Lb, Rb in zip(ipp.L_vec, ipp.R_vec):
+                    transcript.validate_and_append_point(b"L", Lb)
+                    transcript.validate_and_append_point(b"R", Rb)
+                    chal.append(transcript.challenge_scalar(b"u"))
+            except Exception:
+                raise R1CSError(R1CSError.VERIFICATION)
+            import ctypes as _ct
+            zero32 = bytes(32)
 
-        u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
+            def pk_pad(xs):
+                return (b"".join(s.to_bytes() for s in xs)
+                        + zero32 * (padded_n - len(xs)))
 
-        g_scalars = [ui * (x * ywr - a * si)
-                     for ywr, ui, si in zip(yneg_wR, u_or_1, s)]
-        wL_pad = wL + [Scalar.zero()] * pad
-        wO_pad = wO + [Scalar.zero()] * pad
-        s_rev = list(reversed(s))
-        h_scalars = [ui * (yi * (x * wLi + wOi - b * s_inv) - Scalar.one())
-                     for yi, ui, s_inv, wLi, wOi
-                     in zip(y_inv_vec, u_or_1, s_rev, wL_pad, wO_pad)]
+            g_buf = _ct.create_string_buffer(32 * padded_n)
+            h_buf = _ct.create_string_buffer(32 * padded_n)
+            d_buf = _ct.create_string_buffer(32)
+            usq_buf = _ct.create_string_buffer(32 * lg_n)
+            uisq_buf = _ct.create_string_buffer(32 * lg_n)
+            _NV.r1cs_verify_scalars(
+                padded_n, n1, lg_n,
+                b"".join(c.to_bytes() for c in chal),
+                x.to_bytes(), y_inv.to_bytes(), u.to_bytes(),
+                a.to_bytes(), b.to_bytes(),
+                pk_pad(wL), pk_pad(wR), pk_pad(wO),
+                g_buf, h_buf, d_buf, usq_buf, uisq_buf)
+
+            def unpk(buf, k):
+                return [Scalar(int.from_bytes(buf.raw[32 * i: 32 * i + 32],
+                                              "little")) for i in range(k)]
+
+            u_sq = unpk(usq_buf, lg_n)
+            u_inv_sq = unpk(uisq_buf, lg_n)
+            g_scalars = unpk(g_buf, padded_n)
+            h_scalars = unpk(h_buf, padded_n)
+            delta = Scalar(int.from_bytes(d_buf.raw, "little"))
+        else:
+            try:
+                u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(
+                    padded_n, transcript)
+            except Exception:
+                raise R1CSError(R1CSError.VERIFICATION)
+
+            y_inv_vec = exp_iter_take(y_inv, padded_n)
+            yneg_wR = [wRi * yi for wRi, yi in zip(wR, y_inv_vec)] + [Scalar.zero()] * pad
+
+            delta = inner_product(yneg_wR[:n], wL)
+
+            u_or_1 = [Scalar.one()] * n1 + [u] * (n2 + pad)
+
+            g_scalars = [ui * (x * ywr - a * si)
+                         for ywr, ui, si in zip(yneg_wR, u_or_1, s)]
+            wL_pad = wL + [Scalar.zero()] * pad
+            wO_pad = wO + [Scalar.zero()] * pad
+            s_rev = list(reversed(s))
+            h_scalars = [ui * (yi * (x * wLi + wOi - b * s_inv) - Scalar.one())
+                         for yi, ui, s_inv, wLi, wOi
+                         in zip(y_inv_vec, u_or_1, s_rev, wL_pad, wO_pad)]
 
         # transcript-RNG batching scalar (no witness; external entropy only)
         det_rng = transcript.build_rng().finalize(rng)

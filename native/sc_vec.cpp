@@ -180,4 +180,210 @@ void ipp_fold(size_t n_full, size_t n, uint8_t* a, uint8_t* b,
   }
 }
 
+
+
+// ---------------------------------------------------------------------------
+// R1CS vector stages: the n-length scalar math that dominates large-circuit
+// host time (reference src/r1cs/prover.rs:549-637, verifier.rs:398-445).
+// All arrays are packed 32-byte canonical scalars.
+// ---------------------------------------------------------------------------
+
+static inline void sc_ld(Sc& r, const uint8_t* p) { std::memcpy(r.v, p, 32); }
+static inline void sc_st(uint8_t* p, const Sc& r) { std::memcpy(p, r.v, 32); }
+
+// Build the degree-3 l/r polynomial coefficient vectors
+// (prover.rs:549-577):
+//   l1 = aL + y^-i o wR   l2 = aO   l3 = sL
+//   r0 = wO - y^i         r1 = y^i o aR + wL   r3 = y^i o sR
+// and accumulate the t-poly via the special inner product (l0 = r2 = 0,
+// util.rs:122-146) in the same pass.  t_out = [t1..t6].
+void r1cs_lr_polys(size_t n, const uint8_t y[32], const uint8_t y_inv[32],
+                   const uint8_t* aL, const uint8_t* aR, const uint8_t* aO,
+                   const uint8_t* sL, const uint8_t* sR,
+                   const uint8_t* wL, const uint8_t* wR, const uint8_t* wO,
+                   uint8_t* l1o, uint8_t* l2o, uint8_t* l3o,
+                   uint8_t* r0o, uint8_t* r1o, uint8_t* r3o,
+                   uint8_t* t_out) {
+  Sc yy, yi, ey = {{1, 0, 0, 0}}, eyi = {{1, 0, 0, 0}};
+  sc_ld(yy, y);
+  sc_ld(yi, y_inv);
+  Sc t[6];
+  for (int k = 0; k < 6; ++k) t[k] = Sc{{0, 0, 0, 0}};
+  Sc a, b, c, l1, l2, l3, r0, r1, r3, p;
+  for (size_t i = 0; i < n; ++i) {
+    // l1 = aL + y^-i * wR
+    sc_ld(a, aL + 32 * i);
+    sc_ld(b, wR + 32 * i);
+    sc_mul(c, eyi, b);
+    sc_add(l1, a, c);
+    sc_ld(l2, aO + 32 * i);
+    sc_ld(l3, sL + 32 * i);
+    // r0 = wO - y^i
+    sc_ld(a, wO + 32 * i);
+    sc_sub(r0, a, ey);
+    // r1 = y^i * aR + wL
+    sc_ld(a, aR + 32 * i);
+    sc_mul(c, ey, a);
+    sc_ld(b, wL + 32 * i);
+    sc_add(r1, c, b);
+    // r3 = y^i * sR
+    sc_ld(a, sR + 32 * i);
+    sc_mul(r3, ey, a);
+    sc_st(l1o + 32 * i, l1);
+    sc_st(l2o + 32 * i, l2);
+    sc_st(l3o + 32 * i, l3);
+    sc_st(r0o + 32 * i, r0);
+    sc_st(r1o + 32 * i, r1);
+    sc_st(r3o + 32 * i, r3);
+    // t1 += l1 r0; t2 += l1 r1 + l2 r0; t3 += l2 r1 + l3 r0;
+    // t4 += l1 r3 + l3 r1; t5 += l2 r3; t6 += l3 r3
+    sc_mul(p, l1, r0); sc_add(t[0], t[0], p);
+    sc_mul(p, l1, r1); sc_add(t[1], t[1], p);
+    sc_mul(p, l2, r0); sc_add(t[1], t[1], p);
+    sc_mul(p, l2, r1); sc_add(t[2], t[2], p);
+    sc_mul(p, l3, r0); sc_add(t[2], t[2], p);
+    sc_mul(p, l1, r3); sc_add(t[3], t[3], p);
+    sc_mul(p, l3, r1); sc_add(t[3], t[3], p);
+    sc_mul(p, l2, r3); sc_add(t[4], t[4], p);
+    sc_mul(p, l3, r3); sc_add(t[5], t[5], p);
+    sc_mul(ey, ey, yy);
+    sc_mul(eyi, eyi, yi);
+  }
+  for (int k = 0; k < 6; ++k) sc_st(t_out + 32 * k, t[k]);
+}
+
+// Evaluate l(x), r(x) (prover.rs:614-631): l = x l1 + x^2 l2 + x^3 l3;
+// r = r0 + x r1 + x^3 r3; the pad region [n, padded_n) gets l = 0,
+// r[i] = -y^i (y_n = y^n supplied by the caller).
+void r1cs_lr_eval(size_t n, size_t padded_n, const uint8_t x[32],
+                  const uint8_t y[32], const uint8_t y_n[32],
+                  const uint8_t* l1, const uint8_t* l2, const uint8_t* l3,
+                  const uint8_t* r0, const uint8_t* r1, const uint8_t* r3,
+                  uint8_t* l_out, uint8_t* r_out) {
+  Sc xx, x2, x3, a, b, c, acc;
+  sc_ld(xx, x);
+  sc_mul(x2, xx, xx);
+  sc_mul(x3, x2, xx);
+  for (size_t i = 0; i < n; ++i) {
+    sc_ld(a, l1 + 32 * i); sc_mul(acc, a, xx);
+    sc_ld(a, l2 + 32 * i); sc_mul(b, a, x2); sc_add(acc, acc, b);
+    sc_ld(a, l3 + 32 * i); sc_mul(b, a, x3); sc_add(acc, acc, b);
+    sc_st(l_out + 32 * i, acc);
+    sc_ld(acc, r0 + 32 * i);
+    sc_ld(a, r1 + 32 * i); sc_mul(b, a, xx); sc_add(acc, acc, b);
+    sc_ld(a, r3 + 32 * i); sc_mul(b, a, x3); sc_add(acc, acc, b);
+    sc_st(r_out + 32 * i, acc);
+  }
+  Sc ey, yy, zero = {{0, 0, 0, 0}};
+  sc_ld(ey, y_n);
+  sc_ld(yy, y);
+  for (size_t i = n; i < padded_n; ++i) {
+    sc_st(l_out + 32 * i, zero);
+    sc_sub(c, zero, ey);
+    sc_st(r_out + 32 * i, c);
+    sc_mul(ey, ey, yy);
+  }
+}
+
+// Verifier scalar streams (verifier.rs:398-445): recompute the IPP
+// s-vector from the round challenges, then emit g/h scalars, delta, and
+// the squared (inverse) challenges.  wL/wR/wO are zero-padded to padded_n.
+void r1cs_verify_scalars(size_t padded_n, size_t n1, size_t lg_n,
+                         const uint8_t* u_chals, const uint8_t x[32],
+                         const uint8_t y_inv[32], const uint8_t u[32],
+                         const uint8_t a[32], const uint8_t b[32],
+                         const uint8_t* wL, const uint8_t* wR,
+                         const uint8_t* wO,
+                         uint8_t* g_out, uint8_t* h_out,
+                         uint8_t delta_out[32],
+                         uint8_t* u_sq_out, uint8_t* u_inv_sq_out) {
+  Sc* uc = new Sc[lg_n];
+  Sc* uinv = new Sc[lg_n];
+  Sc* usq = new Sc[lg_n];
+  Sc* uisq = new Sc[lg_n];
+  Sc allinv = {{1, 0, 0, 0}};
+  for (size_t k = 0; k < lg_n; ++k) {
+    sc_ld(uc[k], u_chals + 32 * k);
+    sc_invert(uinv[k], uc[k]);
+    sc_mul(usq[k], uc[k], uc[k]);
+    sc_mul(uisq[k], uinv[k], uinv[k]);
+    sc_mul(allinv, allinv, uinv[k]);
+    sc_st(u_sq_out + 32 * k, usq[k]);
+    sc_st(u_inv_sq_out + 32 * k, uisq[k]);
+  }
+  // s[0] = prod u_inv; s[i] = s[i - 2^lg(i)] * u_{(lg_n-1)-lg(i)}^2
+  Sc* s = new Sc[padded_n];
+  s[0] = allinv;
+  for (size_t i = 1; i < padded_n; ++i) {
+    int lg_i = 63 - __builtin_clzll((unsigned long long)i);
+    size_t k = (size_t)1 << lg_i;
+    sc_mul(s[i], s[i - k], usq[(lg_n - 1) - lg_i]);
+  }
+  Sc yi, eyi = {{1, 0, 0, 0}}, uu, xx, aa, bb;
+  sc_ld(yi, y_inv);
+  sc_ld(uu, u);
+  sc_ld(xx, x);
+  sc_ld(aa, a);
+  sc_ld(bb, b);
+  Sc one = {{1, 0, 0, 0}}, delta = {{0, 0, 0, 0}};
+  Sc wr, wl, wo, ywr, t0, t1, g, h;
+  for (size_t i = 0; i < padded_n; ++i) {
+    sc_ld(wr, wR + 32 * i);
+    sc_ld(wl, wL + 32 * i);
+    sc_ld(wo, wO + 32 * i);
+    sc_mul(ywr, wr, eyi);                  // y^-i * wR_i
+    sc_mul(t0, ywr, wl);
+    sc_add(delta, delta, t0);              // delta = <y^-n o wR, wL>
+    // g = u_or_1 * (x * ywr - a * s_i)
+    sc_mul(t0, xx, ywr);
+    sc_mul(t1, aa, s[i]);
+    sc_sub(g, t0, t1);
+    if (i >= n1) sc_mul(g, g, uu);
+    sc_st(g_out + 32 * i, g);
+    // h = u_or_1 * (y^-i * (x wL + wO - b s_rev) - 1)
+    sc_mul(t0, xx, wl);
+    sc_add(t0, t0, wo);
+    sc_mul(t1, bb, s[padded_n - 1 - i]);
+    sc_sub(t0, t0, t1);
+    sc_mul(h, eyi, t0);
+    sc_sub(h, h, one);
+    if (i >= n1) sc_mul(h, h, uu);
+    sc_st(h_out + 32 * i, h);
+    sc_mul(eyi, eyi, yi);
+  }
+  sc_st(delta_out, delta);
+  delete[] uc; delete[] uinv; delete[] usq; delete[] uisq; delete[] s;
+}
+
+// acc[i] += w * xs[i] (the batch verifier's per-proof generator-scalar
+// accumulation, an extension of verifier.rs:447-449 across proofs)
+void sc_vec_axpy(size_t n, uint8_t* acc, const uint8_t w[32],
+                 const uint8_t* xs) {
+  Sc ww, x, av, p;
+  sc_ld(ww, w);
+  for (size_t i = 0; i < n; ++i) {
+    sc_ld(x, xs + 32 * i);
+    sc_ld(av, acc + 32 * i);
+    sc_mul(p, ww, x);
+    sc_add(av, av, p);
+    sc_st(acc + 32 * i, av);
+  }
+}
+
+// H_factors for the IPP over u-modified generators: h[i] = y^-i * gf[i]
+// (prover.rs:648-656); gf is 1 for i < n1 and u beyond.
+void r1cs_hg_factors(size_t padded_n, size_t n1, const uint8_t y_inv[32],
+                     const uint8_t u[32], uint8_t* g_out, uint8_t* h_out) {
+  Sc yi, eyi = {{1, 0, 0, 0}}, uu, one = {{1, 0, 0, 0}}, h;
+  sc_ld(yi, y_inv);
+  sc_ld(uu, u);
+  for (size_t i = 0; i < padded_n; ++i) {
+    const Sc& g = i < n1 ? one : uu;
+    sc_st(g_out + 32 * i, g);
+    sc_mul(h, eyi, g);
+    sc_st(h_out + 32 * i, h);
+    sc_mul(eyi, eyi, yi);
+  }
+}
+
 }  // extern "C"

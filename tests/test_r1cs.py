@@ -252,3 +252,27 @@ def test_prover_allocate_missing_assignment_errors():
     prover = Prover(PC, t)
     with pytest.raises(R1CSError):
         prover.allocate(None)
+
+
+def test_native_vector_stage_cross_paths(rng):
+    """The native large-circuit vector stages (r1cs_lr_polys/eval,
+    r1cs_verify_scalars) are bit-compatible with the Python oracle: the
+    k-shuffle roundtrip passes with each prover/verifier path combination
+    (any challenge divergence would fail verification)."""
+    from bulletproofs_tpu.core._native import LIB
+    if LIB is None:
+        pytest.skip("native backend not built")
+    from bulletproofs_tpu.proofs.r1cs import prover as prover_mod
+    from bulletproofs_tpu.proofs.r1cs import verifier as verifier_mod
+
+    old_p, old_v = prover_mod._NATIVE_MIN_N, verifier_mod._NATIVE_MIN_N
+    try:
+        for p_thresh, v_thresh in ((4, 1 << 40), (1 << 40, 4), (4, 4)):
+            prover_mod._NATIVE_MIN_N = p_thresh
+            verifier_mod._NATIVE_MIN_N = v_thresh
+            shuffle_proof_roundtrip(9, rng)
+            with pytest.raises(R1CSError):
+                shuffle_proof_roundtrip(5, rng, tamper=True)
+    finally:
+        prover_mod._NATIVE_MIN_N = old_p
+        verifier_mod._NATIVE_MIN_N = old_v
