@@ -27,6 +27,32 @@ from .proof import R1CSProof
 _NATIVE_MIN_N = 1024
 
 
+class PackedScalarVec:
+    """n packed 32-byte scalars.  The large-circuit verifier keeps its g/h
+    scalar streams in this form end-to-end (native emit -> native MSM);
+    iteration/indexing lazily materializes Scalars for any generic
+    consumer."""
+
+    __slots__ = ("raw", "n")
+
+    def __init__(self, raw: bytes, n: int):
+        assert len(raw) == 32 * n
+        self.raw = raw
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self.n))]
+        return Scalar(int.from_bytes(self.raw[32 * i: 32 * i + 32], "little"))
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self[i]
+
+
 class _SysRandom:
     @staticmethod
     def randbytes(n):
@@ -133,6 +159,7 @@ class Verifier(RandomizableConstraintSystem):
     def verify(self, proof: R1CSProof, pc_gens: PedersenGens,
                bp_gens: BulletproofGens, rng=None, msm=None) -> None:
         rng = rng or _SysRandom()
+        msm_injected = msm is not None
         if msm is None:
             from ...ops.vec_msm import msm_host_auto as msm
         (dyn_scalars, dyn_compressed, b_scalar, bb_scalar, g_scalars,
@@ -142,8 +169,35 @@ class Verifier(RandomizableConstraintSystem):
         if any(p is None for p in dyn):
             raise R1CSError(R1CSError.VERIFICATION)
         k = len(dyn) - 2 * len(proof.ipp_proof.L_vec)
+
+        from ...core.ristretto import _NATIVE, pack_points
+        if (isinstance(g_scalars, PackedScalarVec) and _NATIVE is not None
+                and not msm_injected):
+            # byte-path mega-MSM: dyn points packed fresh (a handful), the
+            # static [G | H] blob cached on the generator object
+            cache = getattr(bp_gens, "_ipp_basis_cache", None)
+            if cache is None:
+                cache = bp_gens._ipp_basis_cache = {}
+            packed_gh = cache.get((padded_n, 1))
+            if packed_gh is None:
+                packed_gh = cache[(padded_n, 1)] = pack_points(
+                    gens.G(padded_n) + gens.H(padded_n))
+            sc_blob = (b"".join(s.to_bytes() for s in dyn_scalars[:k])
+                       + b_scalar.to_bytes() + bb_scalar.to_bytes()
+                       + g_scalars.raw + h_scalars.raw
+                       + b"".join(s.to_bytes() for s in dyn_scalars[k:]))
+            pt_blob = (pack_points(dyn[:k] + [pc_gens.B, pc_gens.B_blinding])
+                       + packed_gh + pack_points(dyn[k:]))
+            total = len(dyn) + 2 + 2 * padded_n
+            import ctypes as _ct
+            out = _ct.create_string_buffer(128)
+            _NATIVE.rist_msm(total, sc_blob, pt_blob, out)
+            if not _NATIVE.rist_is_identity(out.raw):
+                raise R1CSError(R1CSError.VERIFICATION)
+            return
+
         scalars = (dyn_scalars[:k] + [b_scalar, bb_scalar]
-                   + g_scalars + h_scalars + dyn_scalars[k:])
+                   + list(g_scalars) + list(h_scalars) + dyn_scalars[k:])
         points = (dyn[:k] + [pc_gens.B, pc_gens.B_blinding]
                   + gens.G(padded_n) + gens.H(padded_n) + dyn[k:])
         if not msm(scalars, points).is_identity():
@@ -265,8 +319,8 @@ class Verifier(RandomizableConstraintSystem):
 
             u_sq = unpk(usq_buf, lg_n)
             u_inv_sq = unpk(uisq_buf, lg_n)
-            g_scalars = unpk(g_buf, padded_n)
-            h_scalars = unpk(h_buf, padded_n)
+            g_scalars = PackedScalarVec(g_buf.raw, padded_n)
+            h_scalars = PackedScalarVec(h_buf.raw, padded_n)
             delta = Scalar(int.from_bytes(d_buf.raw, "little"))
         else:
             try:
@@ -335,14 +389,21 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
     if not items:
         raise ValueError("batch_verify requires at least one proof "
                          "(an empty batch would vacuously accept)")
+    msm_injected = msm is not None
     if msm is None:
         from ...ops.vec_msm import msm_host_auto as msm
+    from ...core._native import LIB as _NV
+    if msm_injected:
+        _NV = None   # honor the injected MSM: stay on the Scalar path
     zero = Scalar.zero()
     acc_b = acc_bb = zero
     acc_g: List[Scalar] = []
     acc_h: List[Scalar] = []
+    acc_g_buf = acc_h_buf = None       # native byte accumulators
+    acc_n = 0
     all_dyn_s: List[Scalar] = []
     all_dyn_p: List[bytes] = []
+    import ctypes as _ct
     for verifier, proof in items:
         (ds, dp, bs, bbs, gs, hs, pn) = verifier.verification_scalars(
             proof, bp_gens, rng)
@@ -351,18 +412,71 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
         all_dyn_p.extend(dp)
         acc_b = acc_b + wgt * bs
         acc_bb = acc_bb + wgt * bbs
-        if len(acc_g) < pn:
-            acc_g.extend([zero] * (pn - len(acc_g)))
-            acc_h.extend([zero] * (pn - len(acc_h)))
-        for i, s in enumerate(gs):
-            acc_g[i] = acc_g[i] + wgt * s
-        for i, s in enumerate(hs):
-            acc_h[i] = acc_h[i] + wgt * s
+        if isinstance(gs, PackedScalarVec) and _NV is not None:
+            # byte path: acc += wgt * gs via the native axpy
+            if acc_g_buf is None or acc_n < pn:
+                new_g = _ct.create_string_buffer(32 * pn)
+                new_h = _ct.create_string_buffer(32 * pn)
+                if acc_g_buf is not None:
+                    new_g[: 32 * acc_n] = acc_g_buf.raw[: 32 * acc_n]
+                    new_h[: 32 * acc_n] = acc_h_buf.raw[: 32 * acc_n]
+                elif acc_g:   # earlier python-path proofs accumulated
+                    blob_g = b"".join(s.to_bytes() for s in acc_g)
+                    blob_h = b"".join(s.to_bytes() for s in acc_h)
+                    new_g[: len(blob_g)] = blob_g
+                    new_h[: len(blob_h)] = blob_h
+                    acc_n = len(acc_g)
+                    acc_g, acc_h = [], []
+                acc_g_buf, acc_h_buf = new_g, new_h
+                acc_n = pn
+            _NV.sc_vec_axpy(pn, acc_g_buf, wgt.to_bytes(), gs.raw)
+            _NV.sc_vec_axpy(pn, acc_h_buf, wgt.to_bytes(), hs.raw)
+        else:
+            if acc_g_buf is not None:
+                # fold the byte accumulator back to Scalars (mixed sizes)
+                acc_g = list(PackedScalarVec(acc_g_buf.raw, acc_n))
+                acc_h = list(PackedScalarVec(acc_h_buf.raw, acc_n))
+                acc_g_buf = acc_h_buf = None
+            if len(acc_g) < pn:
+                acc_g.extend([zero] * (pn - len(acc_g)))
+                acc_h.extend([zero] * (pn - len(acc_h)))
+            for i, s in enumerate(gs):
+                acc_g[i] = acc_g[i] + wgt * s
+            for i, s in enumerate(hs):
+                acc_h[i] = acc_h[i] + wgt * s
 
     dyn = [RistrettoPoint.decompress(p) for p in all_dyn_p]
     if any(p is None for p in dyn):
         raise R1CSError(R1CSError.VERIFICATION)
     gens = bp_gens.share(0)
+    if acc_g_buf is not None:
+        if acc_g:   # python-path proofs accumulated first at smaller pn
+            blob = b"".join(s.to_bytes() for s in acc_g)
+            _NV.sc_vec_axpy(len(acc_g), acc_g_buf, Scalar.one().to_bytes(),
+                            blob)
+            blob = b"".join(s.to_bytes() for s in acc_h)
+            _NV.sc_vec_axpy(len(acc_h), acc_h_buf, Scalar.one().to_bytes(),
+                            blob)
+        from ...core.ristretto import _NATIVE, pack_points
+        cache = getattr(bp_gens, "_ipp_basis_cache", None)
+        if cache is None:
+            cache = bp_gens._ipp_basis_cache = {}
+        packed_gh = cache.get((acc_n, 1))
+        if packed_gh is None:
+            packed_gh = cache[(acc_n, 1)] = pack_points(
+                gens.G(acc_n) + gens.H(acc_n))
+        sc_blob = (b"".join(s.to_bytes() for s in all_dyn_s)
+                   + acc_b.to_bytes() + acc_bb.to_bytes()
+                   + acc_g_buf.raw + acc_h_buf.raw)
+        pt_blob = (pack_points(dyn + [pc_gens.B, pc_gens.B_blinding])
+                   + packed_gh)
+        total = len(dyn) + 2 + 2 * acc_n
+        out = _ct.create_string_buffer(128)
+        _NATIVE.rist_msm(total, sc_blob, pt_blob, out)
+        if not _NATIVE.rist_is_identity(out.raw):
+            raise R1CSError(R1CSError.VERIFICATION)
+        return
+
     scalars = all_dyn_s + [acc_b, acc_bb] + acc_g + acc_h
     points = (dyn + [pc_gens.B, pc_gens.B_blinding]
               + gens.G(len(acc_g)) + gens.H(len(acc_h)))
