@@ -10,7 +10,7 @@ XOR/rotate/ANDNOT VPU work.
 
 With this, Fiat-Shamir no longer forces a host sync per protocol phase:
 the whole batched prove compiles to ONE XLA program
-(ops/prover_stages.prove_all_fused).
+(ops/prover_stages.prove_rest_fused).
 
 Bit-exact against the host oracle (utils/keccak.f1600_state) in
 tests/test_keccak_device.py.

@@ -564,36 +564,23 @@ def round_emit_dyn(a, b, gw, hw, w, em):
 _ROUND_COUNTERS = (64, 0, 7)   # pos, pos_begin, FLAG_I | FLAG_A | FLAG_C
 
 
-def prove_all_eager(n: int, m: int, pos0: int, pb0: int, fl0: int,
-                    niels, states0, key_nonce, v_bytes, vb_bytes, bits_u8,
-                    _scan: bool = False):
-    """The whole batched range prove as one program.
-
-    niels: (3, L, (2N+2)*64, 1) master window-table stream over
-    [B, B~, G.., H..]; states0: (200, P) STROBE states with shared
-    counters (pos0, pb0, fl0); key_nonce: (11,) uint32 ChaCha key for the
-    blinding draws; v_bytes/vb_bytes: (m*P, 32) value/blinding scalars
-    (party-major); bits_u8: (N, P) bit rows.
-
-    Returns (vas ((m+2)P, 32), tb (2P, 32), lr (lgN, 2P, 32),
-    fin (5, P, 32) canonical [t_x, t_x_blinding, e_blinding, a0, b0],
-    state_out (200, P)); final strobe counters are _ROUND_COUNTERS."""
+def stage0_eager(n: int, m: int, niels, key_nonce, v_bytes, vb_bytes,
+                 bits_u8):
+    """Stage 0 of the two-program prove: blinding expansion and the
+    V/A/S commitments.  Returns (vas ((m+2)P, 32) compressed rows for the
+    host's Fiat-Shamir absorb, red (L, (4+2N)P) device-resident blinds
+    consumed by prove_rest)."""
     from . import chacha
     from . import fixed_msm as FM
     from . import vec_curve as C
-    from .transcript_device import DeviceStrobe
 
     N = n * m
     P = bits_u8.shape[-1]
-    R = N.bit_length() - 1
     bits = bits_u8.astype(jnp.int32)
-
-    # blinding draws, expanded on device from the 256-bit seed
     red = S.from_wide_bytes(chacha._keystream_blocks(key_nonce,
                                                      P * (4 + 2 * N)))
     ab, sb, t1b, t2b, sl, sr = _blind_slices(N, P, red)
 
-    # static table-stream views of the master Niels stream
     w64 = np.arange(64, dtype=np.int32)
     niels_bb = niels[:, :, : 2 * 64, :]
     sel_a = np.asarray(a_stream_sel(N), np.int32)
@@ -602,24 +589,50 @@ def prove_all_eager(n: int, m: int, pos0: int, pb0: int, fl0: int,
     niels_a = jnp.take(niels, jnp.asarray(sel_a), axis=2)
     niels_s = jnp.take(niels, jnp.asarray(sel_s), axis=2)
 
-    # stage 0: V_j, A, S commitments
     v_sc = S.from_bytes32(v_bytes)
     vb_limbs = S.from_bytes32(vb_bytes)
     vpts = FM.msm_digits_niels(niels_bb, v_digits(v_sc, vb_limbs))
     apts = FM.msm_digits_niels(niels_a, a_digits(N, bits, ab))
     spts = FM.msm_digits_niels(niels_s, s_digits(N, sb, sl, sr))
     vas = C.compress_device(jnp.concatenate([vpts, apts, spts], axis=-1))
+    return vas, red
 
-    # transcript: dom-sep + V/A/S -> y, z
-    ts = DeviceStrobe(states0, pos0, pb0, fl0)
-    ts.rangeproof_domain_sep(n, m)
-    for j in range(m):
-        ts.append_rows(b"V", vas[j * P: (j + 1) * P].T)
-    ts.append_rows(b"A", vas[m * P: (m + 1) * P].T)
-    ts.append_rows(b"S", vas[(m + 1) * P:].T)
-    y = ts.challenge_scalar(b"y")
-    z = ts.challenge_scalar(b"z")
-    yinv = S.sinv(y)
+
+stage0_fused_v2 = functools.partial(jax.jit, static_argnums=(0, 1))(
+    stage0_eager)
+
+
+def prove_rest_eager(n: int, m: int, niels, states_z, red, bits_u8,
+                     yz_bytes, vb_bytes, _scan: bool = False):
+    """Everything after the y/z challenges, as one program.
+
+    The host absorbs dom-sep + V/A/S and draws y, z with its C++ STROBE
+    (native rp_ts_yz) -- that segment is the only one whose byte positions
+    depend on the caller's prior transcript content.  After z's 64-byte
+    PRF every transcript sits at the SAME counters (_ROUND_COUNTERS), so
+    this program's static schedule holds for arbitrary input transcripts.
+
+    states_z: (200, P) post-z STROBE states; yz_bytes: (3P, 32) rows
+    [y | z | 1/y] from rp_ts_yz; red: stage0's device-resident blinds.
+
+    Returns (tb (2P, 32), lr (lgN, 2P, 32), fin (5, P, 32) canonical
+    [t_x, t_x_blinding, e_blinding, a0, b0], state_out (200, P)); final
+    strobe counters are _ROUND_COUNTERS."""
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+    from .transcript_device import DeviceStrobe
+
+    N = n * m
+    P = bits_u8.shape[-1]
+    R = N.bit_length() - 1
+    bits = bits_u8.astype(jnp.int32)
+    ab, sb, t1b, t2b, sl, sr = _blind_slices(N, P, red)
+    niels_bb = niels[:, :, : 2 * 64, :]
+
+    yzi = S.from_bytes32(yz_bytes)
+    y, z, yinv = yzi[:, :P], yzi[:, P: 2 * P], yzi[:, 2 * P:]
+    vb_limbs = S.from_bytes32(vb_bytes)
+    ts = DeviceStrobe(states_z, *_ROUND_COUNTERS)
 
     # stage 1: l/r polys, T_1/T_2 -> x
     l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = stage1(
@@ -705,14 +718,14 @@ def prove_all_eager(n: int, m: int, pos0: int, pb0: int, fl0: int,
     b0 = S.sadd(S.smul(b[:, 0], uinv), S.smul(b[:, 1], u))
     fin = jnp.stack([tx_by, txb_by, eb_by,
                      S.canonical_bytes32(a0), S.canonical_bytes32(b0)])
-    return vas, tb, lr_all, fin, st
+    return tb, lr_all, fin, st
 
 
-# On TPU the whole prove is ONE jitted program (compile amortized by the
-# persistent cache; first-execution pays the single tunnel upload).  Off
-# TPU (CPU tests) the eager variant runs the same code path with only the
-# small nested jits (f1600, the XLA MSM, sinv, stage1/2) compiled -- the
-# fused graph is too large for the XLA-CPU compiler to digest in test time.
-prove_all_fused = functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4))(
-        functools.partial(prove_all_eager, _scan=True))
+# On TPU the prove is TWO jitted programs split at the y/z boundary
+# (compile amortized by the persistent cache).  Off TPU (CPU tests) the
+# eager variants run the same code path with only the small nested jits
+# (f1600, the XLA MSM, sinv, stage1/2) compiled -- the fused graph is too
+# large for the XLA-CPU compiler to digest in test time.
+prove_rest_fused = functools.partial(
+    jax.jit, static_argnums=(0, 1))(
+        functools.partial(prove_rest_eager, _scan=True))

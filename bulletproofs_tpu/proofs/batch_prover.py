@@ -133,7 +133,7 @@ class BatchProver:
                 if v < 0 or v >> self.n:
                     raise ValueError(f"value out of range for {self.n}-bit proof")
         if fixed_msm._on_tpu() or self.force_device:
-            if self.fused and self._counters_uniform(transcripts):
+            if self.fused:
                 return self._prove_batch_device_fused(
                     values, blindings, transcripts, rng)
             return self._prove_batch_device(values, blindings, transcripts, rng)
@@ -151,33 +151,21 @@ class BatchProver:
             [vs[0] for vs in values], [bs[0] for bs in blindings],
             transcripts, rng)
 
-    # -- fused device path: EVERYTHING (incl. Fiat-Shamir) in one program ----
-
-    @staticmethod
-    def _counters_uniform(transcripts) -> bool:
-        """The fused program traces the STROBE positions statically, so all
-        transcripts in a batch must enter with the same counters (true for
-        any same-length labels; arbitrary prior content falls back)."""
-        bufs = [getattr(t.strobe, "buf", None) for t in transcripts]
-        if any(b is None for b in bufs):
-            return False
-        first = bufs[0].raw[200:203]
-        return all(b.raw[200:203] == first for b in bufs)
+    # -- fused device path: two programs split at the y/z boundary ----------
 
     def _prove_batch_device_fused(self, values, blindings, transcripts, rng):
-        """One jit launch for the whole batch: device transcripts
-        (ops/transcript_device), device blinding expansion, all MSMs, the
-        scan-uniform IPP round loop, canonical output scalars.  One upload
-        (inputs), one download (proof bytes + final transcript states)."""
+        """Two jit launches for the whole batch: stage 0 (blinds + V/A/S
+        commitments), ONE host Fiat-Shamir step (C++ rp_ts_yz -- the only
+        transcript segment whose byte schedule depends on the caller's
+        prior content), then everything else -- device transcripts
+        (ops/transcript_device), all remaining MSMs, the scan-uniform IPP
+        round loop, canonical output scalars -- in the second program."""
         import jax
         import jax.numpy as jnp
         from ..ops import prover_stages as PS
 
         n, m, N, count = self.n, self.m, self.N, len(values)
-        bufs = [t.strobe.buf.raw for t in transcripts]
-        pos0, pb0, fl0 = bufs[0][200], bufs[0][201], bufs[0][202]
-        states0 = np.frombuffer(b"".join(b[:200] for b in bufs),
-                                np.uint8).reshape(count, 200).T.copy()
+        on_tpu = fixed_msm._on_tpu()
 
         v_bytes = jnp.asarray(np.frombuffer(
             b"".join(int(values[p][j]).to_bytes(32, "little")
@@ -190,19 +178,41 @@ class BatchProver:
         vals_np = np.array([[int(values[p][j]) for p in range(count)]
                             for j in range(m)], np.uint64)
         shifts = np.arange(n, dtype=np.uint64)
-        bits_u8 = ((vals_np[:, None, :] >> shifts[None, :, None]) & 1) \
-            .reshape(N, count).astype(np.uint8)
+        bits_u8 = jnp.asarray(
+            ((vals_np[:, None, :] >> shifts[None, :, None]) & 1)
+            .reshape(N, count).astype(np.uint8))
 
         kn = np.zeros(11, np.uint32)
         kn[:8] = np.frombuffer(rng.randbytes(32), "<u4")
+        niels = self.tables.ensure_niels()
 
-        fn = (PS.prove_all_fused if fixed_msm._on_tpu()
-              else PS.prove_all_eager)
-        vas, tb, lr_all, fin, st = (np.asarray(x) for x in jax.device_get(
-            fn(n, m, pos0, pb0, fl0,
-               self.tables.ensure_niels(),
-               jnp.asarray(states0), jnp.asarray(kn),
-               v_bytes, vb_bytes, jnp.asarray(bits_u8))))
+        s0 = PS.stage0_fused_v2 if on_tpu else PS.stage0_eager
+        vas_dev, red = s0(n, m, niels, jnp.asarray(kn), v_bytes, vb_bytes,
+                          bits_u8)
+        vas = np.asarray(jax.device_get(vas_dev))
+
+        # host Fiat-Shamir: dom-sep + V/A/S -> y, z (and 1/y)
+        strobe_size = len(transcripts[0].strobe.buf.raw)
+        strobes = ctypes.create_string_buffer(
+            b"".join(t.strobe.buf.raw for t in transcripts),
+            strobe_size * count)
+        yz = ctypes.create_string_buffer(3 * count * 32)
+        rc = _NATIVE.rp_ts_yz(ctypes.c_uint64(count), strobes,
+                              ctypes.c_size_t(strobe_size),
+                              ctypes.c_uint64(n), ctypes.c_uint64(m),
+                              vas.tobytes(), yz)
+        assert rc == 0
+        # post-z states all sit at _ROUND_COUNTERS; upload the 200-byte
+        # sponge states for the device transcript to continue
+        states_z = np.frombuffer(strobes.raw, np.uint8).reshape(
+            count, strobe_size)[:, :200].T.copy()
+        yz_rows = jnp.asarray(np.frombuffer(yz.raw, np.uint8)
+                              .reshape(3 * count, 32))
+
+        rest = PS.prove_rest_fused if on_tpu else PS.prove_rest_eager
+        tb, lr_all, fin, st = (np.asarray(x) for x in jax.device_get(
+            rest(n, m, niels, jnp.asarray(states_z), red, bits_u8,
+                 yz_rows, vb_bytes)))
 
         posf, pbf, flf = PS._ROUND_COUNTERS
         for i, t in enumerate(transcripts):
