@@ -125,13 +125,17 @@ def main():
         f"-> {rate:.0f} verifications/s")
 
 
-    # secondary metric: raw MSM points/s at 2^16 (stderr only)
+    # secondary metric: MSM points/s at 2^16 (stderr only), both ways:
+    # tunnel-inclusive (scalars uploaded per call) and DEVICE-RESIDENT
+    # (points AND digits staged before the clock -- the per-chip
+    # capability number; see docs/kernels.md for the MFU accounting)
     try:
         if cpu_fallback:
             raise RuntimeError("skipped in CPU fallback")
         import jax.numpy as jnp
         from bulletproofs_tpu.ops import vec_curve as C
         from bulletproofs_tpu.ops import vec_msm
+        from bulletproofs_tpu.ops import msm_pallas
         N = 1 << 16
         raw = np.frombuffer(secrets.token_bytes(64 * N), np.uint8).reshape(N, 64)
         pts = C.from_uniform_bytes(raw)
@@ -142,7 +146,23 @@ def main():
         for _ in range(3):
             jax.device_get(vec_msm.msm_lanes_auto(pts, sbytes))
         msm_dt = (time.time() - t0) / 3
-        log(f"MSM 2^16: {msm_dt*1000:.0f} ms -> {N/msm_dt/1e6:.3f} M points/s")
+        log(f"MSM 2^16 (incl. upload): {msm_dt*1000:.0f} ms -> "
+            f"{N/msm_dt/1e6:.3f} M points/s")
+
+        # device-resident: stage digits first; time CHAINED async dispatches
+        # with one trailing sync (block_until_ready does not block through
+        # the tunnel, and a per-iteration device_get would add ~31 ms RTT)
+        digits = msm_pallas.device_digits4(jnp.asarray(sbytes[:, :32]))
+        padded, blk, kchunk = msm_pallas._pick_shape(N)
+        jax.device_get(msm_pallas._msm_pallas(pts, digits, blk, kchunk)[1])
+        iters = 6
+        t0 = time.time()
+        for _ in range(iters):
+            out = msm_pallas._msm_pallas(pts, digits, blk, kchunk)
+        jax.device_get(out[1])
+        dt = (time.time() - t0) / iters
+        log(f"MSM 2^16 device-resident: {dt*1000:.1f} ms -> "
+            f"{N/dt/1e6:.3f} M points/s/chip")
     except Exception as e:
         log(f"MSM bench skipped: {e}")
 

@@ -47,20 +47,20 @@ def main():
     padded, blk, kchunk = msm_pallas._pick_shape(N)
     assert padded == N, (padded, N)
 
-    # warm-up (compile + first execution through the tunnel)
+    # warm-up (compile + first execution through the tunnel); NB
+    # block_until_ready does not block through the axon tunnel, so sync
+    # via a tiny device_get and time CHAINED async dispatches
     t0 = time.time()
-    out, flag = msm_pallas._msm_pallas(pts, digits, blk, kchunk)
-    jax.block_until_ready((out, flag))
+    jax.device_get(msm_pallas._msm_pallas(pts, digits, blk, kchunk)[1])
     print(f"warm-up: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    iters = 5
-    dts = []
+    iters = 6
+    t0 = time.time()
     for _ in range(iters):
-        t0 = time.time()
-        out, flag = msm_pallas._msm_pallas(pts, digits, blk, kchunk)
-        jax.block_until_ready((out, flag))
-        dts.append(time.time() - t0)
-    dt = min(dts)
+        out = msm_pallas._msm_pallas(pts, digits, blk, kchunk)
+    jax.device_get(out[1])
+    dt = (time.time() - t0) / iters
+    dts = [dt]
     rate = N / dt
 
     # ops accounting (per point): W mixed adds of 7 fmul + ~4 fadd, plus the
@@ -74,8 +74,8 @@ def main():
     # v5e VPU: 8 sublanes x 128 lanes x 4 scalar units x ~0.94 GHz
     peak = 8 * 128 * 4 * 0.94e9
     mfu = total_ops / dt / peak
-    print(f"MSM 2^{lg} device-resident: best {dt*1000:.1f} ms of "
-          f"{[round(d*1000,1) for d in sorted(dts)]} -> {rate/1e6:.3f} M pts/s",
+    print(f"MSM 2^{lg} device-resident: {dt*1000:.1f} ms "
+          f"(avg of {iters} chained) -> {rate/1e6:.3f} M pts/s",
           file=sys.stderr)
     print(f"ops/point ~ {per_point/1e3:.0f}k int32 lane-ops; "
           f"total {total_ops/1e9:.1f} G-ops; est. VPU MFU {mfu*100:.0f}%",
