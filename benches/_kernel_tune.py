@@ -13,13 +13,20 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def timeit(label, fn, iters=3):
+def _sync(r):
+    """Force completion through the tunnel: block_until_ready does not
+    block there, so fetch a one-element probe of the first output leaf."""
     import jax
-    jax.block_until_ready(fn())          # compile
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    jax.device_get(leaf.reshape(-1)[:1])
+
+
+def timeit(label, fn, iters=3):
+    _sync(fn())          # compile + first execution
     t0 = time.time()
     for _ in range(iters):
         r = fn()
-    jax.block_until_ready(r)
+    _sync(r)
     dt = (time.time() - t0) / iters
     print(f"{label}: {dt*1000:.1f} ms", flush=True)
     return dt

@@ -45,8 +45,8 @@ def bench_rangeproof():
     rng = Rng()
     pc = PedersenGens()
     bp = BulletproofGens(64, 32)
-    for n in (8, 64):
-        for m in (1, 8, 16):
+    for n in (8, 16, 32, 64):
+        for m in (1, 2, 4, 8, 16, 32):
             values = [secrets.randbelow(2 ** n) for _ in range(m)]
             blindings = [Scalar.random(rng) for _ in range(m)]
 
@@ -181,6 +181,44 @@ def bench_r1cs():
                1.0 / (batch / dt))
 
 
+def bench_r1cs_scale():
+    """k-shuffle at 2^15 (~2^16 multipliers): BASELINE.json configs[4] /
+    SURVEY.md §7 step 11.  Heavy (~1 min); run explicitly."""
+    import random
+    from bulletproofs_tpu import BulletproofGens, PedersenGens, Transcript, Scalar
+    from bulletproofs_tpu.proofs.r1cs import Prover, Verifier
+    from bulletproofs_tpu.core.scalar import L
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_r1cs import shuffle_gadget
+    rng = Rng()
+    pc = PedersenGens()
+    k = 1 << 15
+    bp = BulletproofGens(1 << 16, 1)
+    rr = random.Random(k)
+    inputs = [Scalar(rr.randrange(L)) for _ in range(k)]
+    outputs = list(inputs)
+    rr.shuffle(outputs)
+
+    t0 = time.time()
+    p = Prover(pc, Transcript(b"ShuffleScaleBench"))
+    in_pairs = [p.commit(v, Scalar.random(rng)) for v in inputs]
+    out_pairs = [p.commit(v, Scalar.random(rng)) for v in outputs]
+    shuffle_gadget(p, [v for _, v in in_pairs], [v for _, v in out_pairs])
+    proof = p.prove(bp, rng=rng)
+    record("k-shuffle proof creation", f"k=2^15 (incl. gadget)",
+           time.time() - t0)
+    ins, outs = [c for c, _ in in_pairs], [c for c, _ in out_pairs]
+
+    t0 = time.time()
+    v = Verifier(Transcript(b"ShuffleScaleBench"))
+    iv = [v.commit(c) for c in ins]
+    ov = [v.commit(c) for c in outs]
+    shuffle_gadget(v, iv, ov)
+    v.verify(proof, pc, bp, rng=rng)
+    record("k-shuffle proof verification", f"k=2^15", time.time() - t0)
+
+
 def bench_batch():
     """Fused batched verification (the TPU-native headline config)."""
     from bulletproofs_tpu import BulletproofGens, PedersenGens, RangeProof, Transcript, Scalar
@@ -223,21 +261,26 @@ def bench_batch_prove():
         record("batch prove", f"batch={batch} n=64", dt)
         record("batch prove rate", f"batch={batch}", 1.0 / (batch / dt))
 
-    # aggregated statements through the same pipeline (m values per proof)
-    m, batch = 8, 256
-    bp_m = BulletproofGens(64, m)
-    prover_m = BatchProver(bp_m, pc, 64, m=m)
-    vals = [[secrets.randbelow(2 ** 64) for _ in range(m)] for _ in range(batch)]
-    blinds = [[Scalar.random(rng) for _ in range(m)] for _ in range(batch)]
+    # aggregated statements through the same pipeline (m values per proof);
+    # m=16 is BASELINE.json configs[2] (BulletproofGens(64, 16))
+    for m, batch in ((8, 256), (16, 128)):
+        bp_m = BulletproofGens(64, m)
+        prover_m = BatchProver(bp_m, pc, 64, m=m)
+        vals = [[secrets.randbelow(2 ** 64) for _ in range(m)]
+                for _ in range(batch)]
+        blinds = [[Scalar.random(rng) for _ in range(m)]
+                  for _ in range(batch)]
 
-    def run_agg():
-        prover_m.prove_batch(vals, blinds,
-                             [Transcript(b"abp %d" % i) for i in range(batch)],
-                             rng=rng)
-    dt = timeit(run_agg, reps=1)
-    record("aggregated batch prove", f"batch={batch} n=64 m={m}", dt)
-    record("aggregated batch prove rate (proofs)", f"batch={batch} m={m}",
-           1.0 / (batch / dt))
+        def run_agg(pm=prover_m, v=vals, b=blinds, bt=batch):
+            pm.prove_batch(v, b,
+                           [Transcript(b"abp %d" % i) for i in range(bt)],
+                           rng=rng)
+        dt = timeit(run_agg, reps=1)
+        record("aggregated batch prove", f"batch={batch} n=64 m={m}", dt)
+        record("aggregated batch prove rate (proofs)",
+               f"batch={batch} m={m}", 1.0 / (batch / dt))
+        record("aggregated batch prove rate (values)",
+               f"batch={batch} m={m}", 1.0 / (batch * m / dt))
 
 
 def bench_msm():
@@ -260,7 +303,8 @@ def bench_msm():
 
 
 ALL = {"rangeproof": bench_rangeproof, "generators": bench_generators,
-       "linear": bench_linear, "r1cs": bench_r1cs, "batch": bench_batch,
+       "linear": bench_linear, "r1cs": bench_r1cs,
+       "r1cs_scale": bench_r1cs_scale, "batch": bench_batch,
        "batch_prove": bench_batch_prove, "msm": bench_msm}
 
 
