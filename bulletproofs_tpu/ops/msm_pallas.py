@@ -55,6 +55,69 @@ _INTERPRET = False             # flipped by tests on CPU
 # phase 1: bucket accumulation
 # --------------------------------------------------------------------------
 
+def _accum_kernel_niels(consts_ref, pre_ref, digs_ref, out_ref, slab):
+    """Niels-form variant of _accum_kernel: pre (3, L, KCH, BLK) holds
+    (Y+X, Y-X, 2dT) with Z = 1, so the bucket update is a 7-mul mixed
+    addition instead of the 9-mul complete formula -- a ~1.5x win on the
+    accumulation phase.  Valid whenever inputs have Z = 1, which is true
+    for every production caller: decompressed points and generator
+    tensors are emitted with Z = 1 (`to_niels_lanes` converts; use
+    `normalize_z` first for arbitrary-Z inputs)."""
+    PM.bind_consts(consts_ref)
+    B = slab.shape[0]
+    kc = pl.program_id(1)
+    n_kc = pl.num_programs(1)
+    KCH = pre_ref.shape[2]
+
+    @pl.when(kc == 0)
+    def _init():
+        blk_n = slab.shape[-1]
+        zero = jnp.zeros((L, blk_n), jnp.int32)
+        one = jnp.concatenate([jnp.ones((1, blk_n), jnp.int32), zero[1:]],
+                              axis=0)
+        ident = jnp.stack([zero, one, one, zero])
+        for b in range(B):
+            slab[b] = ident
+
+    def step(k, _):
+        d = digs_ref[0, k, :, :]
+        neg = d >= 16
+        mag = d & 15
+        ypx = pre_ref[0, :, k, :]
+        ymx = pre_ref[1, :, k, :]
+        td2 = pre_ref[2, :, k, :]
+        pre = (jnp.where(neg, ymx, ypx), jnp.where(neg, ypx, ymx),
+               jnp.where(neg, PM.fneg(td2), td2))
+        masks = [mag == b for b in range(B)]
+        cur = [jnp.zeros((L, pre[0].shape[-1]), jnp.int32) for _ in range(4)]
+        for b in range(B):
+            sb = slab[b]
+            m = masks[b]
+            for c in range(4):
+                cur[c] = cur[c] + jnp.where(m, sb[c], 0)
+        X1, Y1, Z1, T1 = cur
+        A = PM.fmul(PM.fsub(Y1, X1), pre[1])
+        Bv = PM.fmul(PM.fadd(Y1, X1), pre[0])
+        Cv = PM.fmul(T1, pre[2])
+        Dv = PM.fmul_small(Z1, 2)
+        E = PM.fsub(Bv, A)
+        Fv = PM.fsub(Dv, Cv)
+        G = PM.fadd(Dv, Cv)
+        H = PM.fadd(Bv, A)
+        new = (PM.fmul(E, Fv), PM.fmul(G, H), PM.fmul(Fv, G), PM.fmul(E, H))
+        for b in range(B):
+            sb = slab[b]
+            m = masks[b]
+            slab[b] = jnp.stack([jnp.where(m, new[c], sb[c]) for c in range(4)])
+        return 0
+
+    jax.lax.fori_loop(0, KCH, step, 0)
+
+    @pl.when(kc == n_kc - 1)
+    def _flush():
+        out_ref[0] = slab[:]
+
+
 def _accum_kernel(consts_ref, pts_ref, digs_ref, out_ref, slab):
     """Grid (W, n_chunks).  pts (4, L, KCH, BLK) chunk; digs (1, KCH, 1, BLK)
     SIGNED-encoded (mag = d & 15 in [0, 8], bit 4 = negate the point); slab
@@ -276,6 +339,110 @@ def to_signed_digits(d: jnp.ndarray) -> jnp.ndarray:
 
     _, rows = jax.lax.scan(step, jnp.zeros(d.shape[1:], jnp.int32), d)
     return rows
+
+
+@jax.jit
+def to_niels_lanes(points: jnp.ndarray) -> jnp.ndarray:
+    """(4, L, N) points with Z = 1 -> (3, L, N) Niels (Y+X, Y-X, 2dT)."""
+    from . import vec_field as F
+    from . import vec_curve as C
+    X, Y, T = points[0], points[1], points[3]
+    d2 = jnp.asarray(C.const("d2"))
+    return jnp.stack([F.add(Y, X), F.sub(Y, X), F.mul(T, d2)])
+
+
+@jax.jit
+def normalize_z(points: jnp.ndarray) -> jnp.ndarray:
+    """(4, L, N) arbitrary-Z points -> same points with Z = 1."""
+    from . import vec_field as F
+    X, Y, Z, T = points[0], points[1], points[2], points[3]
+    zi = F.invert(Z)
+    x = F.mul(X, zi)
+    y = F.mul(Y, zi)
+    one = jnp.broadcast_to(jnp.asarray(F.ONE), x.shape)
+    return jnp.stack([x, y, one, F.mul(x, y)])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _msm_pallas_niels(niels: jnp.ndarray, digits: jnp.ndarray,
+                      blk: int, kchunk: int):
+    """Niels-input MSM: niels (3, L, N) with identity rows (1, 1, 0) for
+    padding; UNSIGNED digits (W, N).  Same phases 2/3 as _msm_pallas."""
+    W, B = NUM_WINDOWS, 9
+    n = niels.shape[-1]
+    n_chunks = n // (kchunk * blk)
+    consts = jnp.asarray(PM.CONSTS)
+
+    pre = niels.reshape(3, L, n_chunks * kchunk, blk)
+    digs = to_signed_digits(digits).reshape(W, n_chunks * kchunk, 1, blk)
+
+    slabs = pl.pallas_call(
+        _accum_kernel_niels,
+        grid=(W, n_chunks),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda w, kc: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, kchunk, blk), lambda w, kc: (0, 0, kc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kchunk, 1, blk), lambda w, kc: (w, kc, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, 4, L, blk), lambda w, kc: (w, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, B, 4, L, blk), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, 4, L, blk), jnp.int32)],
+        interpret=_INTERPRET,
+    )(consts, pre, digs)
+
+    sums = pl.pallas_call(
+        _reduce_kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((PM.NCONST, L, 1), lambda w: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 4, L, blk), lambda w: (w, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, L, 8), lambda w: (w, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, 4, L, 8), jnp.int32),
+        interpret=_INTERPRET,
+    )(consts, slabs)
+
+    out, flag = pl.pallas_call(
+        _horner_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((4, L, 8), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 8), jnp.int32)],
+        interpret=_INTERPRET,
+    )(consts, sums)
+    return out[..., :1], flag[0, :1]
+
+
+_NIELS_IDENT = None
+
+
+def _niels_pad(n_pad: int) -> jnp.ndarray:
+    ident = jnp.zeros((3, L, n_pad), jnp.int32)
+    return ident.at[0, 0].set(1).at[1, 0].set(1)
+
+
+def msm_lanes_niels_flag(points: jnp.ndarray, digits: jnp.ndarray,
+                         blk: Optional[int] = None):
+    """MSM via the Niels mixed-add kernel.  points (4, L, N) MUST have
+    Z = 1 (decompressed points and generator tensors do; use normalize_z
+    otherwise); digits (W, N) unsigned device digits."""
+    n = points.shape[-1]
+    padded, blk, kchunk = _pick_shape(n, blk)
+    niels = to_niels_lanes(points)
+    if padded != n:
+        niels = jnp.concatenate([niels, _niels_pad(padded - n)], axis=-1)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((NUM_WINDOWS, padded - n), jnp.int32)], axis=-1)
+    return _msm_pallas_niels(niels, digits, blk, kchunk)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

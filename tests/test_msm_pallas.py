@@ -56,3 +56,32 @@ def test_msm_pallas_interpret_matches_oracle():
         assert got == exp
     finally:
         msm_pallas._INTERPRET = False
+
+
+def test_niels_msm_matches_general(rng):
+    """The Niels mixed-add MSM equals the general-add MSM on Z=1 inputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bulletproofs_tpu.ops import msm_pallas as MP
+    from bulletproofs_tpu.ops import vec_curve as C
+    from bulletproofs_tpu.ops import vec_msm
+
+    old = MP._INTERPRET
+    MP._INTERPRET = True
+    N = 8
+    raw = np.frombuffer(rng.randbytes(64 * N), np.uint8).reshape(N, 64)
+    pts = C.from_uniform_bytes(raw)          # Z = 1 by construction
+    ints = [int.from_bytes(rng.randbytes(31), "little") for _ in range(N)]
+    sbytes = vec_msm.scalars_to_bytes(ints)
+    digits = MP.device_digits4(jnp.asarray(np.ascontiguousarray(sbytes[:, :32])))
+
+    out1, flag1 = MP.msm_lanes_flag(pts, sbytes)
+    # from_uniform_bytes sums two Elligator points, so Z != 1: normalize
+    out2, flag2 = MP.msm_lanes_niels_flag(MP.normalize_z(pts), digits)
+    p1 = C.lanes_to_points(np.asarray(jax.device_get(out1)))[0]
+    p2 = C.lanes_to_points(np.asarray(jax.device_get(out2)))[0]
+    assert p1 == p2
+    assert bool(np.asarray(jax.device_get(flag1))[0]) == bool(
+        np.asarray(jax.device_get(flag2))[0])
+    MP._INTERPRET = old
