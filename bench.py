@@ -149,16 +149,20 @@ def main():
         log(f"MSM 2^16 (incl. upload): {msm_dt*1000:.0f} ms -> "
             f"{N/msm_dt/1e6:.3f} M points/s")
 
-        # device-resident: stage digits first; time CHAINED async dispatches
-        # with one trailing sync (block_until_ready does not block through
-        # the tunnel, and a per-iteration device_get would add ~31 ms RTT)
+        # device-resident: stage digits + Z-normalized points first; time
+        # CHAINED async dispatches with one trailing sync
+        # (block_until_ready does not block through the tunnel, and a
+        # per-iteration device_get would add ~31 ms RTT).  The Niels
+        # mixed-add kernel applies: production MSM inputs (decompressed
+        # points, generator tensors) carry Z = 1.
         digits = msm_pallas.device_digits4(jnp.asarray(sbytes[:, :32]))
-        padded, blk, kchunk = msm_pallas._pick_shape(N)
-        jax.device_get(msm_pallas._msm_pallas(pts, digits, blk, kchunk)[1])
+        pts_n = msm_pallas.normalize_z(pts)
+        jax.device_get(msm_pallas.msm_lanes_niels_flag(pts_n, digits,
+                                                       blk=256)[1])
         iters = 6
         t0 = time.time()
         for _ in range(iters):
-            out = msm_pallas._msm_pallas(pts, digits, blk, kchunk)
+            out = msm_pallas.msm_lanes_niels_flag(pts_n, digits, blk=256)
         jax.device_get(out[1])
         dt = (time.time() - t0) / iters
         log(f"MSM 2^16 device-resident: {dt*1000:.1f} ms -> "
