@@ -38,7 +38,7 @@ def pytest_configure(config):
         import jax
         if not os.environ.get("BPTPU_TEST_TPU"):
             jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except Exception:
         pass
 
