@@ -357,7 +357,7 @@ def _device_digit_stream(coef_bytes: jnp.ndarray, pad_s: int, pad_q: int) -> jnp
     q, nb, _ = coef_bytes.shape
     b = coef_bytes.astype(jnp.int32)
     # (Q, NB, W) -> (W, Q*NB): the signed recode scans windows per scalar
-    d = jnp.stack([b & 15, b >> 4], axis=3)
+    d = jnp.stack([b & 15, b >> 4], axis=3).reshape(q, nb, 64)
     d = to_signed_digits(jnp.transpose(d, (2, 0, 1)).reshape(64, q * nb))
     d = jnp.transpose(d.reshape(64, q, nb), (1, 2, 0)).reshape(q, nb * 64).T
     if pad_s:
