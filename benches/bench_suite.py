@@ -308,10 +308,7 @@ ALL = {"rangeproof": bench_rangeproof, "generators": bench_generators,
        "batch_prove": bench_batch_prove, "msm": bench_msm}
 
 
-if __name__ == "__main__":
-    which = sys.argv[1:] or ["generators", "rangeproof", "linear", "r1cs"]
-    for name in which:
-        ALL[name]()
+def _flush_results():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
     merged = {}
@@ -323,4 +320,15 @@ if __name__ == "__main__":
         merged[(r["bench"], r["config"])] = r
     with open(out, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["generators", "rangeproof", "linear", "r1cs"]
+    for name in which:
+        # flush after every section so a mid-sweep failure keeps data
+        try:
+            ALL[name]()
+        finally:
+            out = _flush_results()
     print("wrote", out)

@@ -133,9 +133,18 @@ class BatchProver:
                 if v < 0 or v >> self.n:
                     raise ValueError(f"value out of range for {self.n}-bit proof")
         if fixed_msm._on_tpu() or self.force_device:
-            if self.fused:
-                return self._prove_batch_device_fused(
-                    values, blindings, transcripts, rng)
+            # fused two-program path for m = 1 (the throughput config);
+            # aggregated statements keep the per-stage pipeline -- the
+            # N = n*m scan program at m >= 8 exceeds what the remote
+            # Mosaic compiler reliably digests
+            if self.fused and (self.m == 1 or self.force_device):
+                try:
+                    return self._prove_batch_device_fused(
+                        values, blindings, transcripts, rng)
+                except Exception:
+                    if self.force_device:
+                        raise
+                    # e.g. remote-compile failure: fall back per-stage
             return self._prove_batch_device(values, blindings, transcripts, rng)
         if self.m > 1:
             # no C++ aggregated stage engine: use the protocol path (native
