@@ -199,6 +199,74 @@ def _mixed_add(cur, pre):
     return (PM.fmul(E, Fv), PM.fmul(G, H), PM.fmul(Fv, G), PM.fmul(E, H))
 
 
+def _fixed_accum_kernel2(consts_ref, niels_ref, digs_ref, out_ref, slab):
+    """2-way ILP variant of _fixed_accum_kernel: stream rows 2t and 2t+1
+    accumulate into two SEPARATE bucket slabs (slab[0], slab[1]), giving
+    the VPU two independent mixed-add dependency chains to interleave --
+    the single-slab kernel is latency-bound on the serial
+    read-bucket/add/write-bucket chain.  The two slabs merge with 9 full
+    Edwards adds on the last chunk."""
+    PM.bind_consts(consts_ref)
+    ck = pl.program_id(1)
+    n_ck = pl.num_programs(1)
+    KCH = niels_ref.shape[2]
+    qblk = slab.shape[-1]
+
+    @pl.when(ck == 0)
+    def _init():
+        zero = jnp.zeros((L, qblk), jnp.int32)
+        one = jnp.concatenate([jnp.ones((1, qblk), jnp.int32), zero[1:]], axis=0)
+        ident = jnp.stack([zero, one, one, zero])
+        for h in range(2):
+            for b in range(NUM_BUCKETS):
+                slab[h, b] = ident
+
+    def one_lane(k, h):
+        ypx = jnp.broadcast_to(niels_ref[0, :, k, :], (L, qblk))
+        ymx = jnp.broadcast_to(niels_ref[1, :, k, :], (L, qblk))
+        td2 = jnp.broadcast_to(niels_ref[2, :, k, :], (L, qblk))
+        d = digs_ref[k]
+        neg = d >= 16
+        mag = d & 15
+        pre = (jnp.where(neg, ymx, ypx), jnp.where(neg, ypx, ymx),
+               jnp.where(neg, PM.fneg(td2), td2))
+        masks = [mag == b for b in range(NUM_BUCKETS)]
+        cur = [jnp.zeros((L, qblk), jnp.int32) for _ in range(4)]
+        for b in range(NUM_BUCKETS):
+            sb = slab[h, b]
+            m = masks[b]
+            for c in range(4):
+                cur[c] = cur[c] + jnp.where(m, sb[c], 0)
+        return pre, masks, tuple(cur)
+
+    def step(t, _):
+        k0 = 2 * t
+        k1 = 2 * t + 1
+        pre0, masks0, cur0 = one_lane(k0, 0)
+        pre1, masks1, cur1 = one_lane(k1, 1)
+        new0 = _mixed_add(cur0, pre0)
+        new1 = _mixed_add(cur1, pre1)
+        for b in range(NUM_BUCKETS):
+            sb0 = slab[0, b]
+            m0 = masks0[b]
+            slab[0, b] = jnp.stack(
+                [jnp.where(m0, new0[c], sb0[c]) for c in range(4)])
+            sb1 = slab[1, b]
+            m1 = masks1[b]
+            slab[1, b] = jnp.stack(
+                [jnp.where(m1, new1[c], sb1[c]) for c in range(4)])
+        return 0
+
+    jax.lax.fori_loop(0, KCH // 2, step, 0)
+
+    @pl.when(ck == n_ck - 1)
+    def _flush():
+        for b in range(NUM_BUCKETS):
+            a = tuple(slab[0, b, c] for c in range(4))
+            bb = tuple(slab[1, b, c] for c in range(4))
+            out_ref[0, b] = jnp.stack(PM.ed_add(a, bb))
+
+
 def _fixed_accum_kernel(consts_ref, niels_ref, digs_ref, out_ref, slab):
     """Grid (n_qblk, n_chunks).  niels (3, L, KCH, 1) stream chunk (shared
     across lanes); digs (KCH, 1, QBLK) SIGNED-encoded (mag = d & 15 in
@@ -275,6 +343,14 @@ def _fixed_reduce_kernel(consts_ref, slab_ref, out_ref):
     out_ref[0] = jnp.stack(tuple(x[1] for x in t))
 
 
+# 2-slab interleaved accumulation (_fixed_accum_kernel2): measured DEAD
+# EVEN with the single-slab kernel (205 vs 205 M adds/s on v5e), i.e. the
+# accumulation is VPU-throughput-bound, not latency-bound -- Mosaic already
+# pipelines the serial bucket chain.  Kept for re-evaluation on other
+# hardware; the next real lever is MXU int8 limb products (docs/kernels.md).
+_ILP2 = False
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _fixed_msm(niels: jnp.ndarray, digits: jnp.ndarray, consts: jnp.ndarray,
                qblk: int, kchunk: int) -> jnp.ndarray:
@@ -286,8 +362,9 @@ def _fixed_msm(niels: jnp.ndarray, digits: jnp.ndarray, consts: jnp.ndarray,
     n_chunks = S // kchunk
     digs = digits.reshape(S, 1, Q)
 
+    ilp2 = _ILP2 and kchunk % 2 == 0 and not _INTERPRET
     slabs = pl.pallas_call(
-        _fixed_accum_kernel,
+        _fixed_accum_kernel2 if ilp2 else _fixed_accum_kernel,
         grid=(n_qblk, n_chunks),
         in_specs=[
             pl.BlockSpec((PM.NCONST, L, 1), lambda qb, ck: (0, 0, 0),
@@ -300,7 +377,8 @@ def _fixed_msm(niels: jnp.ndarray, digits: jnp.ndarray, consts: jnp.ndarray,
         out_specs=pl.BlockSpec((1, B, 4, L, qblk), lambda qb, ck: (qb, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_qblk, B, 4, L, qblk), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, 4, L, qblk), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(((2, B, 4, L, qblk) if ilp2
+                                    else (B, 4, L, qblk)), jnp.int32)],
         interpret=_INTERPRET,
     )(consts, niels, digs)
 
