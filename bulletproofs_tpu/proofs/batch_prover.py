@@ -163,12 +163,46 @@ class BatchProver:
     # -- fused device path: two programs split at the y/z boundary ----------
 
     def _prove_batch_device_fused(self, values, blindings, transcripts, rng):
-        """Two jit launches for the whole batch: stage 0 (blinds + V/A/S
+        """Two jit launches per half-batch: stage 0 (blinds + V/A/S
         commitments), ONE host Fiat-Shamir step (C++ rp_ts_yz -- the only
         transcript segment whose byte schedule depends on the caller's
         prior content), then everything else -- device transcripts
         (ops/transcript_device), all remaining MSMs, the scan-uniform IPP
-        round loop, canonical output scalars -- in the second program."""
+        round loop, canonical output scalars -- in the second program.
+
+        Large batches run as two interleaved halves so the host work
+        (yz transcripts, proof-object assembly) of one half overlaps the
+        device work of the other."""
+        count = len(values)
+        if count >= 2048 and count % 2 == 0:
+            h = count // 2
+            parts = [slice(0, h), slice(h, count)]
+        else:
+            parts = [slice(0, count)]
+        gens = [self._prove_half_fused_gen(values[s], blindings[s],
+                                           transcripts[s], rng)
+                for s in parts]
+        import jax
+        pend = [next(g) for g in gens]          # all stage-0s dispatched
+        results = [None] * len(gens)
+        live = list(range(len(gens)))
+        while live:
+            for i in list(live):
+                try:
+                    pend[i] = gens[i].send(jax.device_get(pend[i]))
+                except StopIteration as e:
+                    results[i] = e.value
+                    live.remove(i)
+        proofs, vcs = [], []
+        for r in results:
+            proofs.extend(r[0])
+            vcs.extend(r[1])
+        return proofs, vcs
+
+    def _prove_half_fused_gen(self, values, blindings, transcripts, rng):
+        """Generator protocol: yields device arrays right after dispatching
+        each program, so the driver can interleave halves (fetch A while
+        the device crunches B)."""
         import jax
         import jax.numpy as jnp
         from ..ops import prover_stages as PS
@@ -198,7 +232,7 @@ class BatchProver:
         s0 = PS.stage0_fused_v2 if on_tpu else PS.stage0_eager
         vas_dev, red = s0(n, m, niels, jnp.asarray(kn), v_bytes, vb_bytes,
                           bits_u8)
-        vas = np.asarray(jax.device_get(vas_dev))
+        vas = np.asarray((yield vas_dev))
 
         # host Fiat-Shamir: dom-sep + V/A/S -> y, z (and 1/y)
         strobe_size = len(transcripts[0].strobe.buf.raw)
@@ -219,9 +253,9 @@ class BatchProver:
                               .reshape(3 * count, 32))
 
         rest = PS.prove_rest_fused if on_tpu else PS.prove_rest_eager
-        tb, lr_all, fin, st = (np.asarray(x) for x in jax.device_get(
-            rest(n, m, niels, jnp.asarray(states_z), red, bits_u8,
-                 yz_rows, vb_bytes)))
+        rest_dev = rest(n, m, niels, jnp.asarray(states_z), red, bits_u8,
+                        yz_rows, vb_bytes)
+        tb, lr_all, fin, st = (np.asarray(x) for x in (yield rest_dev))
 
         posf, pbf, flf = PS._ROUND_COUNTERS
         for i, t in enumerate(transcripts):
