@@ -422,9 +422,6 @@ def _msm_pallas_niels(niels: jnp.ndarray, digits: jnp.ndarray,
     return out[..., :1], flag[0, :1]
 
 
-_NIELS_IDENT = None
-
-
 def _niels_pad(n_pad: int) -> jnp.ndarray:
     ident = jnp.zeros((3, L, n_pad), jnp.int32)
     return ident.at[0, 0].set(1).at[1, 0].set(1)

@@ -163,7 +163,6 @@ def test_end_to_end_batch_prove_verify(tpu, rng):
     proofs[3].verify_single(bp, pc, Transcript(labels[3]), vcs[3], n)
     # tamper rejection
     from bulletproofs_tpu.errors import ProofError
-    bad = RangeProof.from_bytes(bytearray(proofs[0].to_bytes()))
     raw = bytearray(proofs[0].to_bytes())
     raw[40] ^= 1
     try:
