@@ -372,14 +372,18 @@ def fused_tail(n: int, m: int, blk_bytes: jnp.ndarray,
     static_sc = jnp.concatenate([pair, gh[0].T, gh[1].T], axis=-1)
     static_digits = S.digits64(static_sc)
 
+    # every MSM input carries Z = 1 (static points pre-normalized at
+    # BatchVerifier init; dyn points come from device decompression;
+    # padding is the identity) -> the 7-mul Niels mixed-add kernel applies
     all_pts = jnp.concatenate([static_pts, dyn_pts], axis=-1)
     digits = jnp.concatenate([static_digits, dyn_digits], axis=-1)
     total = all_pts.shape[-1]
     padded, blk_sz, kchunk = msm_pallas._pick_shape(total)
+    niels = msm_pallas.to_niels_lanes(all_pts)
     if padded != total:
-        all_pts = jnp.concatenate(
-            [all_pts, VC.identity((), padded - total)], axis=-1)
+        niels = jnp.concatenate(
+            [niels, msm_pallas._niels_pad(padded - total)], axis=-1)
         digits = jnp.concatenate(
             [digits, jnp.zeros((64, padded - total), jnp.int32)], axis=-1)
-    flag = msm_pallas._msm_pallas(all_pts, digits, blk_sz, kchunk)[1]
+    flag = msm_pallas._msm_pallas_niels(niels, digits, blk_sz, kchunk)[1]
     return flag & jnp.all(dyn_valid).astype(flag.dtype)

@@ -90,7 +90,17 @@ class BatchVerifier:
                        + bp_gens.G(n, m) + bp_gens.H(n, m))
         self._static_host = static_host
         self._static_ext = None      # packed lazily for the host path
-        self._static_dev = jnp.asarray(C.points_to_lanes(static_host))
+        # device copy NORMALIZED to Z = 1 (a representation change only):
+        # the fused tail's mega-MSM then runs the 7-mul Niels mixed-add
+        # kernel, whose other inputs (device-decompressed dyn points,
+        # identity padding) already carry Z = 1
+        from ..core.field import P as _FP
+        norm = []
+        for p in static_host:
+            zi = pow(p.Z, _FP - 2, _FP)
+            x, y = p.X * zi % _FP, p.Y * zi % _FP
+            norm.append(type(p)(x, y, 1, x * y % _FP))
+        self._static_dev = jnp.asarray(C.points_to_lanes(norm))
         self._num_static = len(static_host)
 
     # -- public API ----------------------------------------------------------
