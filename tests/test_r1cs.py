@@ -276,3 +276,38 @@ def test_native_vector_stage_cross_paths(rng):
     finally:
         prover_mod._NATIVE_MIN_N = old_p
         verifier_mod._NATIVE_MIN_N = old_v
+
+
+def test_batch_verify_mixed_native_python_paths(rng):
+    """A batch mixing proofs above and below the native threshold
+    exercises the byte-accumulator grow/fold paths in batch_verify."""
+    from bulletproofs_tpu.core._native import LIB
+    if LIB is None:
+        pytest.skip("native backend not built")
+    from bulletproofs_tpu.proofs.r1cs import batch_verify
+    from bulletproofs_tpu.proofs.r1cs import verifier as verifier_mod
+
+    old = verifier_mod._NATIVE_MIN_N
+    try:
+        verifier_mod._NATIVE_MIN_N = 8   # k=9 -> padded 16 >= 8 (native);
+                                         # k=3 -> padded 4 < 8 (python)
+        items = []
+        for k, seed in ((3, 1), (9, 2), (3, 3), (9, 4)):
+            v, proof = _shuffle_instance(k, seed, rng)
+            items.append((v, proof))
+        batch_verify(items, PC, BP, rng=rng)
+        # order flipped: native-path proof first, then python-path
+        items = []
+        for k, seed in ((9, 5), (3, 6)):
+            v, proof = _shuffle_instance(k, seed, rng)
+            items.append((v, proof))
+        batch_verify(items, PC, BP, rng=rng)
+        # a tampered member still fails the batch
+        items = []
+        for k, seed, bad in ((9, 7, False), (3, 8, True)):
+            v, proof = _shuffle_instance(k, seed, rng, tamper=bad)
+            items.append((v, proof))
+        with pytest.raises(R1CSError):
+            batch_verify(items, PC, BP, rng=rng)
+    finally:
+        verifier_mod._NATIVE_MIN_N = old
