@@ -70,7 +70,10 @@ def main():
     log(f"generators: {time.time()-t0:.1f}s")
 
     n = 64
-    batch = 256 if cpu_fallback else 4096
+    # 8192 on TPU: the verifier pipelines 2048-proof fused sub-batches and
+    # the prover interleaves 4096-proof halves, so both amortize their
+    # fixed host costs better than at 4096 (22.3k vs 19.5k verifs/s)
+    batch = 256 if cpu_fallback else 8192
     rng = Rng()
 
     # batch proving (TPU batch prover; secondary metric on stderr).  A
