@@ -326,7 +326,7 @@ def final_scalars(a, b, t_x, t_xb, e_b):
 
 
 # --------------------------------------------------------------------------
-# fused phase launches
+# fused phase launches (the m>1 aggregated pipeline + unit-test surfaces)
 #
 # Through the device tunnel every jit dispatch costs tens of milliseconds of
 # single-core host time; the stage-by-stage driver issued ~40 launches per
@@ -335,7 +335,8 @@ def final_scalars(a, b, t_x, t_xb, e_b):
 # below is ONE jit program covering a whole Fiat-Shamir phase: everything
 # between two transcript challenges.  Table tensors (Niels streams) are
 # passed as arguments, never closed over, so one compiled program serves
-# any generator set of the same shape.
+# any generator set of the same shape.  The m = 1 production path goes
+# further still -- see the single-program prover section below.
 # --------------------------------------------------------------------------
 
 
