@@ -121,3 +121,21 @@ def test_batch_prove_transcript_advances(rng):
     t_verify = Transcript(b"compose")
     proofs[0].verify_single(BP, PC, t_verify, vcs[0], n)
     assert t_prove.challenge_scalar(b"post") == t_verify.challenge_scalar(b"post")
+
+
+def test_fused_path_transcript_advances(rng):
+    """The fused device path writes back the final STROBE states: prover
+    and verifier transcripts end in the same state (composability), even
+    with different-length labels in one batch."""
+    n = 8
+    prover = BatchProver(BP, PC, n)
+    prover.force_device = True
+    t_a, t_b = Transcript(b"fp a"), Transcript(b"fp longer b")
+    proofs, vcs = prover.prove_batch([5, 200], [Scalar.random(rng),
+                                               Scalar.random(rng)],
+                                     [t_a, t_b], rng=rng)
+    for t, label, proof, vc in ((t_a, b"fp a", proofs[0], vcs[0]),
+                                (t_b, b"fp longer b", proofs[1], vcs[1])):
+        t_v = Transcript(label)
+        proof.verify_single(BP, PC, t_v, vc, n)
+        assert t.challenge_scalar(b"post") == t_v.challenge_scalar(b"post")
