@@ -1,8 +1,21 @@
 """Framework configuration (the reference's Cargo-feature analog,
 SURVEY.md §5 "config/flag system").
 
-Everything is overridable via environment variables (BPTPU_*) or directly
-on the `settings` object before first use.
+One `settings` object holding every runtime knob the framework actually
+reads.  Each field is seeded from its BPTPU_* environment variable at
+import; code paths read `settings.<field>` at call time, so tests and
+embedders can also flip them directly before first use.
+
+| field                | env var                  | consumer |
+|----------------------|--------------------------|----------|
+| no_native            | BPTPU_NO_NATIVE          | core/_native.py (force pure-Python) |
+| compile_cache_dir    | BPTPU_COMPILE_CACHE      | ops/__init__.py (persistent XLA cache) |
+| msm_device_floor     | BPTPU_MSM_DEVICE_FLOOR   | ops/vec_msm.msm_host_auto crossover |
+| no_fold_pallas       | BPTPU_NO_FOLD_PALLAS     | ops/fold_pallas.usable |
+| fused_verify_chunk   | BPTPU_FUSED_VERIFY_CHUNK | parallel/batch_verify sub-batch size (0 = auto-tune) |
+| verify_chunk_pts     | BPTPU_VERIFY_CHUNK_PTS   | parallel/batch_verify chunked pipeline |
+| fused_verify_max_nm  | BPTPU_FUSED_VERIFY_MAX_NM| parallel/batch_verify Pallas-emit VMEM gate |
+| enable_r1cs          | BPTPU_ENABLE_R1CS        | proofs/r1cs (the `yoloproofs` feature flag) |
 """
 
 from __future__ import annotations
@@ -18,32 +31,102 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _env_opt_int(name: str):
+    v = os.environ.get(name)
+    if not v:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return None
+
+
 @dataclass
 class Settings:
-    # --- limb layout (ops/limbs.py) -- fixed by the overflow analysis; kept
-    # here for documentation and asserted at import
-    limb_bits: int = 13
-    num_limbs: int = 20
+    # --- backend selection ---------------------------------------------------
+    # force the pure-Python curve/scalar oracle (tests cross-check backends)
+    no_native: bool = field(
+        default_factory=lambda: bool(os.environ.get("BPTPU_NO_NATIVE")))
 
-    # --- MSM tuning (ops/msm.py)
-    msm_window_bits: int = _env_int("BPTPU_MSM_WINDOW", 8)
-    msm_max_groups: int = _env_int("BPTPU_MSM_GROUPS", 128)
+    # persistent XLA compile cache directory ("" / "0" disables; None = the
+    # repo-local .jax_cache default, applied in ops/__init__.py with a
+    # CPU-only guard since CPU AOT entries are not portable across hosts)
+    compile_cache_dir: str | None = field(
+        default_factory=lambda: os.environ.get("BPTPU_COMPILE_CACHE"))
 
-    # --- sharded MSM (parallel/sharded_msm.py)
-    groups_per_device: int = _env_int("BPTPU_GROUPS_PER_DEVICE", 64)
+    # --- MSM routing ----------------------------------------------------------
+    # point count above which msm_host_auto routes to the device kernel;
+    # None = auto (2^18 with the C++ backend built, 32 without)
+    msm_device_floor: int | None = field(
+        default_factory=lambda: _env_opt_int("BPTPU_MSM_DEVICE_FLOOR"))
 
-    # --- batch verification
-    # bisect threshold when a fused batch check fails and the caller wants
-    # the failing indices
-    batch_bisect_min: int = _env_int("BPTPU_BATCH_BISECT_MIN", 1)
+    # disable the Pallas generator-fold kernel (IPP prover fallback path)
+    no_fold_pallas: bool = field(
+        default_factory=lambda: bool(os.environ.get("BPTPU_NO_FOLD_PALLAS")))
 
-    # --- feature flags (reference Cargo features)
-    # yoloproofs (R1CS) is always available here; this flag exists for
-    # API-parity with deployments that want it disabled
-    enable_r1cs: bool = os.environ.get("BPTPU_ENABLE_R1CS", "1") != "0"
+    # --- batched verification -------------------------------------------------
+    # fused-path sub-batch size (proofs per device dispatch); 0 = auto-tune
+    # per batch (parallel/batch_verify picks a size that balances host replay
+    # against device-tail overlap)
+    fused_verify_chunk: int = field(
+        default_factory=lambda: _env_int("BPTPU_FUSED_VERIFY_CHUNK", 0))
 
-    # --- compile cache (ops/__init__.py reads the env var directly)
-    compile_cache_dir: str = os.environ.get("BPTPU_COMPILE_CACHE", "")
+    # chunked-pipeline dynamic-point budget per chunk
+    verify_chunk_pts: int = field(
+        default_factory=lambda: _env_int("BPTPU_VERIFY_CHUNK_PTS", 8192))
+
+    # largest aggregation size nm routed through the fully-fused Pallas emit
+    # kernel (its VMEM working set scales with nm); larger aggregations take
+    # the chunked C++-emit pipeline.  Measured decision in docs/kernels.md.
+    fused_verify_max_nm: int = field(
+        default_factory=lambda: _env_int("BPTPU_FUSED_VERIFY_MAX_NM", 64))
+
+    # --- constant-time policy -------------------------------------------------
+    # witness-carrying proving REQUIRES the constant-time native backend:
+    # raise instead of falling back to the variable-time pure-Python oracle
+    # (which, like any Python big-int code, makes no timing guarantees).
+    # Default off: the fallback warns once and proceeds (test oracle use).
+    require_consttime: bool = field(
+        default_factory=lambda: bool(os.environ.get("BPTPU_REQUIRE_CONSTTIME")))
+
+    # --- feature flags (reference Cargo features) -----------------------------
+    # the reference gates R1CS behind the unstable `yoloproofs` feature
+    # (/root/reference/Cargo.toml); here it is on by default and this flag
+    # is enforced at proofs/r1cs import
+    enable_r1cs: bool = field(
+        default_factory=lambda: os.environ.get("BPTPU_ENABLE_R1CS", "1") != "0")
 
 
 settings = Settings()
+
+
+class VartimeFallbackWarning(RuntimeWarning):
+    """A witness-carrying operation ran on the variable-time pure-Python
+    path because the constant-time native backend is unavailable."""
+
+
+_vartime_warned: set = set()
+
+
+def vartime_witness_fallback(what: str) -> None:
+    """Gate for witness-carrying operations about to run variable-time.
+
+    The native/device paths honor the reference's MultiscalarMul (consttime)
+    vs VartimeMultiscalarMul split (/root/reference/src/range_proof/party.rs
+    102-124); the pure-Python oracle cannot.  Secrets must not route through
+    it silently: raise under settings.require_consttime, warn once per call
+    site otherwise."""
+    if settings.require_consttime:
+        raise RuntimeError(
+            f"{what}: constant-time native backend unavailable and "
+            "BPTPU_REQUIRE_CONSTTIME is set; refusing to run "
+            "witness-carrying code on the variable-time pure-Python path "
+            "(build native/libbptranscript.so)")
+    if what not in _vartime_warned:
+        _vartime_warned.add(what)
+        import warnings
+        warnings.warn(
+            f"{what}: running witness-carrying code on the VARIABLE-TIME "
+            "pure-Python fallback (native backend unavailable); timing "
+            "side-channels are not mitigated on this path",
+            VartimeFallbackWarning, stacklevel=3)

@@ -16,7 +16,8 @@ import os
 
 
 def _load():
-    if os.environ.get("BPTPU_NO_NATIVE"):
+    from ..config import settings
+    if settings.no_native:
         return None
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))

@@ -267,6 +267,9 @@ def multiscalar_mul_ct(scalars, points) -> RistrettoPoint:
     like any Python big-int code — makes no timing guarantees.
     """
     if _NATIVE is None or len(points) == 0:
+        if len(points):
+            from ..config import vartime_witness_fallback
+            vartime_witness_fallback("multiscalar_mul_ct")
         return multiscalar_mul(scalars, points)
     scalars = [s.v if isinstance(s, Scalar) else int(s) for s in scalars]
     points = list(points)
@@ -292,6 +295,8 @@ def bit_commit(n: int, v: int, Gs, Hs, blind, B_blinding) -> RistrettoPoint:
                                 sblind, _to_ext(B_blinding), out)
         return _from_ext(out.raw)
     # pure-Python oracle: same sum as one MSM with scalars v_i and v_i - 1
+    from ..config import vartime_witness_fallback
+    vartime_witness_fallback("bit_commit")
     bits = [(v >> i) & 1 for i in range(n)]
     return multiscalar_mul(
         [blind] + bits + [b - 1 for b in bits],

@@ -9,11 +9,12 @@ import os
 
 import jax
 
-_CACHE_DIR = os.environ.get(
-    "BPTPU_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".jax_cache"))
-_EXPLICIT = "BPTPU_COMPILE_CACHE" in os.environ
+from ..config import settings
+
+_EXPLICIT = settings.compile_cache_dir is not None
+_CACHE_DIR = settings.compile_cache_dir if _EXPLICIT else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
 
 def _cpu_only() -> bool:
     # CPU AOT cache entries are keyed without the host's CPU feature set, so

@@ -32,8 +32,8 @@ _INTERPRET = False
 
 
 def usable(n_cols: int) -> bool:
-    import os
-    if os.environ.get("BPTPU_NO_FOLD_PALLAS"):
+    from ..config import settings
+    if settings.no_fold_pallas:
         return False
     from .vec_msm import on_tpu
     return (on_tpu() or _INTERPRET) and n_cols % BLKN == 0

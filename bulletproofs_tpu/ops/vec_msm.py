@@ -203,15 +203,14 @@ def msm_host_auto(scalars, points):
     (128 B/point) plus a blocking sync, so the crossover sits around 2^18
     points on locally-attached hardware (far higher over a development
     tunnel).  Without the C++ backend, the pure-Python oracle is so slow
-    that the device wins from 32 points up.  BPTPU_MSM_DEVICE_FLOOR
-    overrides the crossover."""
-    import os
+    that the device wins from 32 points up.  settings.msm_device_floor
+    (BPTPU_MSM_DEVICE_FLOOR) overrides the crossover."""
     points = list(points)
+    from ..config import settings
     from ..core._native import LIB
-    floor = (1 << 18) if LIB is not None else 32
-    env = os.environ.get("BPTPU_MSM_DEVICE_FLOOR")
-    if env:
-        floor = int(env)
+    floor = settings.msm_device_floor
+    if floor is None:
+        floor = (1 << 18) if LIB is not None else 32
     if on_tpu() and len(points) >= floor:
         return msm(scalars, points)
     from ..core.ristretto import multiscalar_mul

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import settings
 from ..core.scalar import L
 from ..errors import ProofError
 from ..generators import BulletproofGens, PedersenGens
@@ -134,7 +135,8 @@ class BatchVerifier:
         # generator axis rides the lanes; ~16 MB at nm = 64); route larger
         # aggregations through the chunked C++-emit pipeline instead.
         fused_ok = self.mesh is None and \
-            (not vec_msm.on_tpu() or self.n * self.m <= 64)
+            (not vec_msm.on_tpu()
+             or self.n * self.m <= settings.fused_verify_max_nm)
         if self.use_native and fused_ok:
             self._verify_native(proofs, value_commitments, transcripts, rng)
         elif self.use_native:
@@ -219,11 +221,11 @@ class BatchVerifier:
              varr], axis=1).reshape(count * n_dyn_per, 32)
         return proofs_blob, vcs_blob, dyn_pts_arr
 
-    # Sub-batch size for the fused TPU path: each sub-batch's device tail
-    # (decompress + emit + MSM) is dispatched asynchronously, so the host
-    # replay of the NEXT sub-batch overlaps it; flags are fetched once at
-    # the end.  2048 balances overlap granularity against per-dispatch
-    # overhead.
+    # Default sub-batch size for the fused TPU path: each sub-batch's device
+    # tail (decompress + emit + MSM) is dispatched asynchronously, so the
+    # host replay of the NEXT sub-batch overlaps it; flags are fetched once
+    # at the end.  2048 balances overlap granularity against per-dispatch
+    # overhead; settings.fused_verify_chunk overrides (0 = this default).
     _FUSED_CHUNK = 2048
 
     def _verify_native(self, proofs, value_commitments, transcripts, rng):
@@ -246,7 +248,7 @@ class BatchVerifier:
 
         use_pallas = vec_msm.on_tpu()
         if use_pallas:
-            step = self._FUSED_CHUNK
+            step = settings.fused_verify_chunk or self._FUSED_CHUNK
             flags = []
             for lo in range(0, count, step):
                 hi = min(lo + step, count)
@@ -344,11 +346,6 @@ class BatchVerifier:
 
     # -- native pipelined path (mesh-sharded MSM) ------------------------------
 
-    # Per-chunk dynamic-point budget: chosen so a chunk's device work (batch
-    # decompression + partial MSM) roughly covers the host C++ prep of the
-    # NEXT chunk, keeping both sides busy (software pipelining).
-    _CHUNK_PTS = 8192
-
     def _verify_native_chunked(self, proofs, value_commitments, transcripts,
                                rng):
         import ctypes
@@ -367,7 +364,10 @@ class BatchVerifier:
         #    partial dynamic MSM asynchronously, then the host preps the next
         #    chunk's scalars in C++ while the device crunches.  Uniform chunk
         #    shapes keep one compiled program across chunks and batch sizes.
-        chunk_proofs = max(1, self._CHUNK_PTS // n_dyn_per)
+        # Per-chunk dynamic-point budget: chosen so a chunk's device work
+        # (batch decompression + partial MSM) roughly covers the host C++
+        # prep of the NEXT chunk, keeping both sides busy.
+        chunk_proofs = max(1, settings.verify_chunk_pts // n_dyn_per)
         chunk_pts = _pad_quantum(min(chunk_proofs, count) * n_dyn_per)
         one = np.zeros(33, np.uint8)
         one[0] = 1

@@ -61,6 +61,14 @@ def _load_native():
 _NATIVE = _load_native()
 
 
+def _check_rc(rc: int, what: str) -> None:
+    """Native return-code check that survives `python -O` (a bare assert
+    would be stripped, silently emitting proofs from uninitialized
+    Fiat-Shamir buffers)."""
+    if rc != 0:
+        raise RuntimeError(f"native prove engine failed in {what} (rc={rc})")
+
+
 class BatchProver:
     """Caches device tables for (n, m) and proves batches of range proofs.
 
@@ -138,12 +146,20 @@ class BatchProver:
             # N = n*m scan program at m >= 8 exceeds what the remote
             # Mosaic compiler reliably digests
             if self.fused and (self.m == 1 or self.force_device):
+                # Snapshot the Fiat-Shamir states first: with interleaved
+                # halves, one half may have written its advanced post-IPP
+                # STROBE state back before the other half throws, and the
+                # per-stage fallback must replay from the ORIGINAL states
+                # or it silently emits unverifiable proofs for that half.
+                snaps = [t.strobe.buf.raw for t in transcripts]
                 try:
                     return self._prove_batch_device_fused(
                         values, blindings, transcripts, rng)
                 except Exception:
                     if self.force_device:
                         raise
+                    for t, snap in zip(transcripts, snaps):
+                        t.strobe.buf.raw = snap
                     # e.g. remote-compile failure: fall back per-stage
             return self._prove_batch_device(values, blindings, transcripts, rng)
         if self.m > 1:
@@ -244,7 +260,7 @@ class BatchProver:
                               ctypes.c_size_t(strobe_size),
                               ctypes.c_uint64(n), ctypes.c_uint64(m),
                               vas.tobytes(), yz)
-        assert rc == 0
+        _check_rc(rc, "rp_ts_yz")
         # post-z states all sit at _ROUND_COUNTERS; upload the 200-byte
         # sponge states for the device transcript to continue
         states_z = np.frombuffer(strobes.raw, np.uint8).reshape(
@@ -347,7 +363,7 @@ class BatchProver:
             out = ctypes.create_string_buffer(k * count * 32)
             rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(k * count),
                                         wide.tobytes(), out)
-            assert rc == 0
+            _check_rc(rc, "rp_reduce_wide")
             return np.frombuffer(out.raw, np.uint8).reshape(k, count, 32)
 
         # blinding draws: [ab][sb][t1b][t2b] (count each) + [sl][sr] (N*count,
@@ -360,7 +376,7 @@ class BatchProver:
             reduced = ctypes.create_string_buffer(n_draws * 32)
             rc = _NATIVE.rp_reduce_wide(ctypes.c_uint64(n_draws),
                                         rng.randbytes(n_draws * 64), reduced)
-            assert rc == 0
+            _check_rc(rc, "rp_reduce_wide")
             from ..ops import vec_scalar as VS
             red = VS.from_bytes32(byte_rows(reduced.raw, n_draws))
         else:
@@ -396,7 +412,7 @@ class BatchProver:
                               ctypes.c_size_t(strobe_size),
                               ctypes.c_uint64(n), ctypes.c_uint64(m),
                               vas.tobytes(), yz)
-        assert rc == 0
+        _check_rc(rc, "rp_ts_yz")
 
         # stage 1 (ONE launch): T_1, T_2 + the l/r polynomial state
         (tb_dev, l0, l1, r0, r1, t0, t1, t2, zz_zpow, yinv) = PS.stage1_fused(
@@ -405,7 +421,7 @@ class BatchProver:
         x_buf = ctypes.create_string_buffer(count * 32)
         rc = _NATIVE.rp_ts_x(ctypes.c_uint64(count), strobes,
                              ctypes.c_size_t(strobe_size), tb.tobytes(), x_buf)
-        assert rc == 0
+        _check_rc(rc, "rp_ts_x")
 
         # stage 2 (ONE launch): share scalars + IPP init (over N = n*m)
         (txs_dev, a, b, gw, hw, t_x, t_xb, e_b) = PS.stage2_fused(
@@ -418,7 +434,7 @@ class BatchProver:
         rc = _NATIVE.rp_ts_w(ctypes.c_uint64(count), strobes,
                              ctypes.c_size_t(strobe_size), ctypes.c_uint64(N),
                              txs_blob, w_buf)
-        assert rc == 0
+        _check_rc(rc, "rp_ts_w")
         w_bytes = byte_rows(w_buf.raw, count)
 
         # IPP rounds, ONE launch each: the fold of round k-1 fuses into
@@ -443,7 +459,7 @@ class BatchProver:
             rc = _NATIVE.rp_ts_round(ctypes.c_uint64(count), strobes,
                                      ctypes.c_size_t(strobe_size),
                                      lr.tobytes(), u_buf, ui_buf)
-            assert rc == 0
+            _check_rc(rc, "rp_ts_round")
             u_bytes = byte_rows(u_buf.raw, count)
             ui_bytes = byte_rows(ui_buf.raw, count)
             nk //= 2
@@ -494,7 +510,7 @@ class BatchProver:
         rc = _NATIVE.rp_prove_stage0(
             ctypes.c_uint64(count), ctypes.c_uint64(n), vals, vblind, rand0,
             state, coef0.ctypes.data_as(ctypes.c_char_p))
-        assert rc == 0
+        _check_rc(rc, "rp_prove_stage0")
         # V/A/S coefficients carry the witness (values, bits, blinds):
         # consttime rows, as the reference's MultiscalarMul would be
         vas = fixed_msm.msm_rows_compressed(self.tables, coef0,
@@ -507,7 +523,7 @@ class BatchProver:
             ctypes.c_uint64(count), ctypes.c_uint64(n), strobes,
             ctypes.c_size_t(strobe_size), vas.tobytes(), rand1, state,
             coef1.ctypes.data_as(ctypes.c_char_p))
-        assert rc == 0
+        _check_rc(rc, "rp_prove_stage1")
         # T1/T2 coefficients are the secret t-polynomial: consttime rows
         tb = fixed_msm.msm_rows_compressed(self.tables_bb, coef1,
                                            consttime=True)
@@ -516,7 +532,7 @@ class BatchProver:
         rc = _NATIVE.rp_prove_stage2(
             ctypes.c_uint64(count), ctypes.c_uint64(n), strobes,
             ctypes.c_size_t(strobe_size), tb.tobytes(), state)
-        assert rc == 0
+        _check_rc(rc, "rp_prove_stage2")
 
         # IPP rounds
         L_rows, R_rows = [], []
@@ -527,7 +543,7 @@ class BatchProver:
                 ctypes.c_uint64(count), ctypes.c_uint64(n),
                 ctypes.c_uint64(nk), state,
                 coefr.ctypes.data_as(ctypes.c_char_p))
-            assert rc == 0
+            _check_rc(rc, "rp_prove_round_coefs")
             lr = fixed_msm.msm_rows_compressed(self.tables, coefr)
             L_rows.append(lr[:count])
             R_rows.append(lr[count:])
@@ -535,13 +551,13 @@ class BatchProver:
                 ctypes.c_uint64(count), ctypes.c_uint64(n),
                 ctypes.c_uint64(nk), strobes, ctypes.c_size_t(strobe_size),
                 lr.tobytes(), state)
-            assert rc == 0
+            _check_rc(rc, "rp_prove_round_absorb")
             nk //= 2
 
         scal = ctypes.create_string_buffer(count * 5 * 32)
         rc = _NATIVE.rp_prove_finish(ctypes.c_uint64(count),
                                      ctypes.c_uint64(n), state, scal)
-        assert rc == 0
+        _check_rc(rc, "rp_prove_finish")
 
         # transcripts advanced in place (reference semantics)
         for i, t in enumerate(transcripts):

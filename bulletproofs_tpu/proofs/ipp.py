@@ -147,7 +147,11 @@ class InnerProductProof:
                 _ct.memset(buf, 0, _ct.sizeof(buf))
             return cls(L_vec, R_vec, a0, b0)
 
-        # Pure-Python fallback (test oracle / native backend unbuilt)
+        # Pure-Python fallback (test oracle / native backend unbuilt).
+        # The a/b vectors are witness data: refuse or warn before running
+        # them through variable-time Python big-int code.
+        from ..config import vartime_witness_fallback
+        vartime_witness_fallback("InnerProductProof.create")
         g_coef = [s.v for s in G_factors]
         h_coef = [s.v for s in H_factors]
         from ..ops.vec_msm import msm_host_auto as _msm

@@ -8,6 +8,15 @@ consume themselves to produce/check an R1CSProof built on the shared
 inner-product argument.
 """
 
+from ...config import settings as _settings
+
+if not _settings.enable_r1cs:
+    # the reference gates this entire module behind the unstable
+    # `yoloproofs` Cargo feature (/root/reference/src/lib.rs:40-49)
+    raise ImportError(
+        "R1CS proofs are disabled (BPTPU_ENABLE_R1CS=0, the analog of "
+        "building the reference without its `yoloproofs` feature)")
+
 from .linear_combination import Variable, LinearCombination
 from .constraint_system import (ConstraintSystem, RandomizableConstraintSystem,
                                 RandomizedConstraintSystem)

@@ -282,7 +282,8 @@ class Verifier(RandomizableConstraintSystem):
             # the native backend on packed scalars
             ipp = proof.ipp_proof
             lg_n = len(ipp.L_vec)
-            if lg_n >= 32 or padded_n != (1 << lg_n) or a is None or b is None:
+            if (lg_n >= 32 or padded_n != (1 << lg_n)
+                    or len(ipp.R_vec) != lg_n or a is None or b is None):
                 raise R1CSError(R1CSError.VERIFICATION)
             transcript.innerproduct_domain_sep(padded_n)
             chal = []
@@ -413,10 +414,15 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
         acc_b = acc_b + wgt * bs
         acc_bb = acc_bb + wgt * bbs
         if isinstance(gs, PackedScalarVec) and _NV is not None:
-            # byte path: acc += wgt * gs via the native axpy
-            if acc_g_buf is None or acc_n < pn:
-                new_g = _ct.create_string_buffer(32 * pn)
-                new_h = _ct.create_string_buffer(32 * pn)
+            # byte path: acc += wgt * gs via the native axpy.  The buffer
+            # must cover BOTH this proof's pn and any longer accumulator
+            # state left by earlier proofs (byte OR python path) -- a mixed
+            # batch [pn_big byte, small python, pn_small byte] previously
+            # allocated 32*pn_small and crashed copying the longer blob in.
+            need = max(pn, acc_n, len(acc_g))
+            if acc_g_buf is None or acc_n < need:
+                new_g = _ct.create_string_buffer(32 * need)
+                new_h = _ct.create_string_buffer(32 * need)
                 if acc_g_buf is not None:
                     new_g[: 32 * acc_n] = acc_g_buf.raw[: 32 * acc_n]
                     new_h[: 32 * acc_n] = acc_h_buf.raw[: 32 * acc_n]
@@ -425,10 +431,9 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
                     blob_h = b"".join(s.to_bytes() for s in acc_h)
                     new_g[: len(blob_g)] = blob_g
                     new_h[: len(blob_h)] = blob_h
-                    acc_n = len(acc_g)
                     acc_g, acc_h = [], []
                 acc_g_buf, acc_h_buf = new_g, new_h
-                acc_n = pn
+                acc_n = need
             _NV.sc_vec_axpy(pn, acc_g_buf, wgt.to_bytes(), gs.raw)
             _NV.sc_vec_axpy(pn, acc_h_buf, wgt.to_bytes(), hs.raw)
         else:

@@ -72,10 +72,6 @@ class Transcript:
         self.append_message(b"dom-sep", b"ipp v1")
         self.append_u64(b"n", n)
 
-    def linearproof_domain_sep(self, n: int) -> None:
-        self.append_message(b"dom-sep", b"linear proof v1")
-        self.append_u64(b"n", n)
-
     def r1cs_domain_sep(self) -> None:
         self.append_message(b"dom-sep", b"r1cs v1")
 

@@ -309,5 +309,33 @@ def test_batch_verify_mixed_native_python_paths(rng):
             items.append((v, proof))
         with pytest.raises(R1CSError):
             batch_verify(items, PC, BP, rng=rng)
+        # regression: [byte-path pn=32, python-path (folds the buffer back
+        # to a 32-long Scalar list), byte-path pn=16] -- the regrow branch
+        # must size the new buffers to the FOLDED length, not this proof's
+        # smaller pn (previously a ValueError from the ctypes slice assign)
+        items = []
+        for k, seed in ((17, 9), (3, 10), (9, 11)):
+            v, proof = _shuffle_instance(k, seed, rng)
+            items.append((v, proof))
+        batch_verify(items, PC, BP, rng=rng)
+    finally:
+        verifier_mod._NATIVE_MIN_N = old
+
+
+def test_native_path_rejects_lr_length_mismatch(rng):
+    """A directly-constructed proof with len(R_vec) < len(L_vec) must raise
+    R1CSError, not under-read the native challenge buffer."""
+    from bulletproofs_tpu.core._native import LIB
+    if LIB is None:
+        pytest.skip("native backend not built")
+    from bulletproofs_tpu.proofs.r1cs import verifier as verifier_mod
+
+    old = verifier_mod._NATIVE_MIN_N
+    try:
+        verifier_mod._NATIVE_MIN_N = 8
+        v, proof = _shuffle_instance(9, 42, rng)
+        proof.ipp_proof.R_vec = proof.ipp_proof.R_vec[:-1]
+        with pytest.raises(R1CSError):
+            v.verify(proof, PC, BP, rng=rng)
     finally:
         verifier_mod._NATIVE_MIN_N = old
