@@ -69,6 +69,24 @@ def main():
     bp_gens = BulletproofGens(64, 1)
     log(f"generators: {time.time()-t0:.1f}s")
 
+    # capture context: the tunnel's RTT/H2D vary by session and floor the
+    # batched numbers (uploads are ~1 KB/proof); record them so a slow
+    # capture is attributable
+    if not cpu_fallback:
+        try:
+            jax.device_get(jax.numpy.zeros((1,), np.int32))
+            t0 = time.time()
+            for _ in range(3):
+                jax.device_get(jax.numpy.zeros((1,), np.int32) + 1)
+            rtt = (time.time() - t0) / 3
+            big = np.zeros((4 << 20,), np.uint8)
+            t0 = time.time()
+            jax.numpy.asarray(big).block_until_ready()
+            h2d = 4 / (time.time() - t0)
+            log(f"tunnel: RTT {rtt*1000:.0f} ms, H2D {h2d:.1f} MB/s")
+        except Exception as e:
+            log(f"tunnel probe failed: {e}")
+
     n = 64
     # 8192 on TPU: the verifier pipelines 2048-proof fused sub-batches and
     # the prover interleaves 4096-proof halves, so both amortize their
@@ -157,7 +175,7 @@ def main():
 
     # best-of-N: the tunnel adds heavy-tailed latency noise, so the fastest
     # repetition is the honest hardware number
-    iters = 3 if cpu_fallback else 7
+    iters = 3 if cpu_fallback else 10
     dts = []
     for _ in range(iters):
         t0 = time.time()

@@ -60,6 +60,16 @@ class Settings:
     msm_device_floor: int | None = field(
         default_factory=lambda: _env_opt_int("BPTPU_MSM_DEVICE_FLOOR"))
 
+    # total point count from which LinearProof.batch_verify routes its
+    # fused MSM to the device kernel on TPU (dyn points upload compressed)
+    linear_device_msm_floor: int = field(
+        default_factory=lambda: _env_int("BPTPU_LINEAR_DEVICE_FLOOR", 2048))
+
+    # circuit size (padded multiplier count) from which the R1CS
+    # verification mega-MSM routes to the device kernel on TPU
+    r1cs_device_msm_floor: int = field(
+        default_factory=lambda: _env_int("BPTPU_R1CS_DEVICE_FLOOR", 1 << 14))
+
     # disable the Pallas generator-fold kernel (IPP prover fallback path)
     no_fold_pallas: bool = field(
         default_factory=lambda: bool(os.environ.get("BPTPU_NO_FOLD_PALLAS")))

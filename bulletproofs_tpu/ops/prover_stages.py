@@ -730,3 +730,157 @@ def prove_rest_eager(n: int, m: int, niels, states_z, red, bits_u8,
 prove_rest_fused = functools.partial(
     jax.jit, static_argnums=(0, 1))(
         functools.partial(prove_rest_eager, _scan=True))
+
+
+# --------------------------------------------------------------------------
+# segmented prover (aggregated m > 1)
+#
+# prove_rest_fused compiles the whole post-y/z protocol -- including the
+# lax.scan over all IPP rounds -- as ONE program; at N = n*m >= 256 that
+# program exceeds what the remote Mosaic compiler reliably digests (the
+# round-3 negative result that gated the fused path to m = 1).  The
+# segmented variant splits at Fiat-Shamir round boundaries into THREE
+# executables of bounded size for ANY m:
+#   prove_mid_fused    stages 1-2 + IPP round 0 (everything between y/z and
+#                      the first u challenge)
+#   round_step_fused   ONE shape-uniform round body, reused for rounds
+#                      1..R-1: the per-round gather maps are stacked
+#                      device-resident tensors indexed by a TRACED round
+#                      counter, so every round runs the same executable
+#   prove_fin_fused    final 2 -> 1 fold + canonical output block
+# The carry (a, b, gw, hw, u, 1/u, the 200-byte sponge states) never
+# leaves the device, and all R+1 dispatches are issued asynchronously
+# back-to-back -- wall-clock matches the scan form to within dispatch
+# overhead (R extra launches of ~ms each).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dyn_round_xs_np(N: int):
+    """numpy form of the stacked round-1.. maps (cached per N)."""
+    emit, folds = _dyn_round_maps(N)
+    xs = {k: np.stack([em[k] for em in emit[1:]]) for k in emit[0]}
+    for k in folds[0]:
+        xs[k] = np.stack([f[k] for f in folds])
+    return xs
+
+
+def dyn_round_xs(N: int):
+    """Stacked (R-1, ...) gather maps for round_step_fused, as device
+    arrays (upload once per process; ~0.5 MB at N = 1024)."""
+    return {k: jnp.asarray(v) for k, v in _dyn_round_xs_np(N).items()}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def prove_mid_fused(n: int, m: int, niels, states_z, red, bits_u8,
+                    yz_bytes, vb_bytes):
+    """Stages 1-2 + IPP round 0 in one launch.  Same inputs as
+    prove_rest_fused; returns (tb (2P, 32), lr0 (2P, 32), carry...) with
+    the IPP state and transcript left ON DEVICE for round_step_fused."""
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+    from .transcript_device import DeviceStrobe
+
+    N = n * m
+    P = bits_u8.shape[-1]
+    bits = bits_u8.astype(jnp.int32)
+    ab, sb, t1b, t2b, sl, sr = _blind_slices(N, P, red)
+    niels_bb = niels[:, :, : 2 * 64, :]
+
+    yzi = S.from_bytes32(yz_bytes)
+    y, z, yinv = yzi[:, :P], yzi[:, P: 2 * P], yzi[:, 2 * P:]
+    vb_limbs = S.from_bytes32(vb_bytes)
+    ts = DeviceStrobe(states_z, *_ROUND_COUNTERS)
+
+    l0, l1, r0, r1, t0, t1, t2, zz_zpow, tdig = stage1(
+        n, m, bits, y, z, sl, sr, t1b, t2b)
+    tb = C.compress_device(FM.msm_digits_niels(niels_bb, tdig))
+    ts.append_rows(b"T_1", tb[:P].T)
+    ts.append_rows(b"T_2", tb[P:].T)
+    x = ts.challenge_scalar(b"x")
+
+    a, b, gw, hw, t_x, t_xb, e_b = stage2(
+        N, x, l0, l1, r0, r1, t0, t1, t2, zz_zpow,
+        vb_limbs.reshape(L, m, P), t1b, t2b, ab, sb, yinv)
+    tx_by = S.canonical_bytes32(t_x)
+    txb_by = S.canonical_bytes32(t_xb)
+    eb_by = S.canonical_bytes32(e_b)
+    ts.append_rows(b"t_x", tx_by.T)
+    ts.append_rows(b"t_x_blinding", txb_by.T)
+    ts.append_rows(b"e_blinding", eb_by.T)
+    w = ts.challenge_scalar(b"w")
+    ts.innerproduct_domain_sep(N)
+
+    emit, _ = _dyn_round_maps(N)
+    em = {k: jnp.asarray(v) for k, v in emit[0].items()}
+    dig_l, dig_r = round_emit_dyn(a, b, gw, hw, w, em)
+    nl = jnp.take(niels, em["sel_l"], axis=2)
+    nr = jnp.take(niels, em["sel_r"], axis=2)
+    pts = jnp.concatenate([FM.msm_digits_niels(nl, dig_l),
+                           FM.msm_digits_niels(nr, dig_r)], axis=-1)
+    lr0 = C.compress_device(pts)
+    ts.append_rows(b"L", lr0[:P].T)
+    ts.append_rows(b"R", lr0[P:].T)
+    u = ts.challenge_scalar(b"u")
+    uinv = S.sinv(u)
+    assert ts.counters() == _ROUND_COUNTERS
+    return tb, lr0, w, a, b, gw, hw, u, uinv, ts.st, tx_by, txb_by, eb_by
+
+
+@jax.jit
+def round_step_fused(niels, xs, k, w, a, b, gw, hw, u, uinv, st):
+    """IPP round 1.. as ONE shape-uniform launch: fold with the previous
+    round's challenge, emit this round's L/R, absorb, draw u.  `k` indexes
+    the stacked maps (traced -> one executable serves every round)."""
+    from . import fixed_msm as FM
+    from . import vec_curve as C
+    from .transcript_device import DeviceStrobe
+
+    P = a.shape[-1]
+    em = {key: jnp.take(xs[key], k, axis=0) for key in xs}
+    a, b, gw, hw = fold_dyn(a, b, gw, hw, u, uinv,
+                            em["mask_fold"], em["idx_fold"], em["glo"])
+    dig_l, dig_r = round_emit_dyn(a, b, gw, hw, w, em)
+    nl = jnp.take(niels, em["sel_l"], axis=2)
+    nr = jnp.take(niels, em["sel_r"], axis=2)
+    pts = jnp.concatenate([FM.msm_digits_niels(nl, dig_l),
+                           FM.msm_digits_niels(nr, dig_r)], axis=-1)
+    lr = C.compress_device(pts)
+    ts = DeviceStrobe(st, *_ROUND_COUNTERS)
+    ts.append_rows(b"L", lr[:P].T)
+    ts.append_rows(b"R", lr[P:].T)
+    u = ts.challenge_scalar(b"u")
+    uinv = S.sinv(u)
+    assert ts.counters() == _ROUND_COUNTERS
+    return lr, a, b, gw, hw, u, uinv, ts.st
+
+
+@jax.jit
+def prove_fin_fused(lrs, a, b, u, uinv, tx_by, txb_by, eb_by):
+    """Final 2 -> 1 fold; returns (lr_all (lgN, 2P, 32), fin (5, P, 32))."""
+    a0 = S.sadd(S.smul(a[:, 0], u), S.smul(a[:, 1], uinv))
+    b0 = S.sadd(S.smul(b[:, 0], uinv), S.smul(b[:, 1], u))
+    fin = jnp.stack([tx_by, txb_by, eb_by,
+                     S.canonical_bytes32(a0), S.canonical_bytes32(b0)])
+    return jnp.stack(lrs), fin
+
+
+def prove_rest_segmented(n: int, m: int, niels, states_z, red, bits_u8,
+                         yz_bytes, vb_bytes):
+    """Drop-in for prove_rest_fused built from the three segment programs
+    (same return signature); used for aggregated m > 1 on TPU, where the
+    one-scan program exceeds the remote compiler."""
+    N = n * m
+    R = N.bit_length() - 1
+    (tb, lr0, w, a, b, gw, hw, u, uinv, st,
+     tx_by, txb_by, eb_by) = prove_mid_fused(
+        n, m, niels, states_z, red, bits_u8, yz_bytes, vb_bytes)
+    lrs = [lr0]
+    if R > 1:
+        xs = dyn_round_xs(N)
+        for k in range(R - 1):
+            lr, a, b, gw, hw, u, uinv, st = round_step_fused(
+                niels, xs, jnp.int32(k), w, a, b, gw, hw, u, uinv, st)
+            lrs.append(lr)
+    lr_all, fin = prove_fin_fused(lrs, a, b, u, uinv, tx_by, txb_by, eb_by)
+    return tb, lr_all, fin, st

@@ -203,10 +203,31 @@ def _emit_kernel(n, m, sconsts_ref, pow2_ref, blk_ref, dig_ref, gh_ref):
         w = a.shape[-1]
         return _smul(a, b, _mat(sconsts_ref[0], w), _mat(sconsts_ref[1], w))
 
-    u_sq = [blk_ref[k] for k in range(lg)]
-    u_inv_sq = [blk_ref[lg + k] for k in range(lg)]
-    (r, x, rc, z, y_inv, neg_a, neg_b, t0, t0r) = \
-        (blk_ref[2 * lg + j] for j in range(9))
+    # COMPACT challenge block [u.., r, x, rc, z, y_inv, -a, -b, allinv]
+    # (native rangeproof_verify_replay_batch_c): derive u^2, u^-2 (from
+    # allinv via prefix/suffix products), t0 = r*prod(u)^-1, t0r =
+    # r*prod(u) in-kernel -- ~4*lg extra BLKP-wide smuls, negligible next
+    # to the nm*BLKP-wide main work, in exchange for uploading lg+8
+    # instead of 2*lg+9 scalars per proof through the tunnel.
+    u = [blk_ref[k] for k in range(lg)]
+    (r, x, rc, z, y_inv, neg_a, neg_b, allinv) = \
+        (blk_ref[lg + j] for j in range(8))
+
+    u_sq = [smul_s(uk, uk) for uk in u]
+    ones = jnp.concatenate(
+        [jnp.ones_like(r[..., :1, :]), jnp.zeros_like(r[..., 1:, :])],
+        axis=-2)
+    pres = [ones]                               # prod u[<k]
+    for k in range(1, lg):
+        pres.append(smul_s(pres[-1], u[k - 1]))
+    sufs = [None] * lg + [ones]                 # prod u[>k]
+    for k in range(lg - 1, -1, -1):
+        sufs[k] = smul_s(sufs[k + 1], u[k])
+    uinv = [smul_s(smul_s(allinv, pres[k]), sufs[k + 1]) for k in range(lg)]
+    u_inv_sq = [smul_s(v, v) for v in uinv]
+    prod = smul_s(pres[lg - 1], u[lg - 1])
+    t0 = smul_s(r, allinv)
+    t0r = smul_s(r, prod)
 
     rx = smul_s(r, x)
     rcx = smul_s(rc, x)
@@ -291,7 +312,7 @@ def emit_digits(n: int, m: int, blk_limbs: jnp.ndarray):
     [tile][slot][lane] order, gh (2, L, nm*BLKP) lazy partial sums)."""
     nm = n * m
     lg = nm.bit_length() - 1
-    nblk = 2 * lg + 9
+    nblk = lg + 8
     n_dyn = 4 + 2 * lg + m
     P = blk_limbs.shape[-1]
     assert P % BLKP == 0
@@ -357,7 +378,7 @@ def fused_tail(n: int, m: int, blk_bytes: jnp.ndarray,
 
     nm = n * m
     lg = nm.bit_length() - 1
-    nblk = 2 * lg + 9
+    nblk = lg + 8
     P = blk_bytes.shape[0] // nblk
 
     lim = S.from_bytes32(blk_bytes)                       # (L, P*nblk)

@@ -7,12 +7,13 @@ In the TPU build those loops are the host bottleneck (the transcript replay
 itself is cheap), so they run on device instead, batched over all proofs in
 lane-major limb form (ops/vec_scalar.py):
 
-  host (C++, native/verify_prep.cpp rangeproof_verify_replay_batch):
+  host (C++, native/verify_prep.cpp rangeproof_verify_replay_batch_c):
       transcript replay -> challenges; one shared batch inversion; emits a
-      compact per-proof "challenge block" of lg+8 canonical scalars
+      COMPACT per-proof "challenge block" of lg+8 canonical scalars (the
+      challenge-block upload is a large share of the H2D bytes that floor
+      batched-verification latency through a device tunnel)
   device (this module):
-      u_inv_sq   via a Montgomery trick along lg + ONE Fermat chain over
-                 the proof axis
+      u_sq       squares, u_inv_sq from allinv via prefix/suffix products
       t-vector   t[i] = r * s[i] (the r-weighted s-vector) by log-doubling
       y^-i       powers by log-doubling
       g/h        streams, accumulated across proofs with a halving tree
@@ -20,8 +21,8 @@ lane-major limb form (ops/vec_scalar.py):
                  r*u_inv_sq, r*c*z^2*z^j] in dynamic-point lane order
 
 Challenge-block layout (must match the C++ writer):
-  [0..lg) u_sq | [lg..2lg) u_inv_sq | 2lg+0 r | +1 x | +2 rc | +3 z
-  | +4 y_inv | +5 -a | +6 -b | +7 t0 = r * prod(u)^-1 | +8 t0r = r * prod(u)
+  [0..lg) u | lg+0 r | +1 x | +2 rc | +3 z | +4 y_inv | +5 -a | +6 -b
+  | +7 allinv = prod(u)^-1
 
 All values stay in the lazy domain (< ~5l after smul, < 2^256 at digit
 extraction); zero-padded proof slots contribute exactly zero.
@@ -110,15 +111,31 @@ def emit_scalars(n: int, m: int, blk_bytes: jnp.ndarray,
     """
     nm = n * m
     lg = nm.bit_length() - 1
-    nblk = 2 * lg + 9
+    nblk = lg + 8
     P = blk_bytes.shape[0] // nblk
 
     blk = S.from_bytes32(blk_bytes).reshape(L, P, nblk)
-    u_sq = jnp.transpose(blk[:, :, :lg], (2, 0, 1))        # (lg, L, P)
-    u_inv_sq = jnp.transpose(blk[:, :, lg: 2 * lg], (2, 0, 1))
-    r, x, rc, z = (blk[:, :, 2 * lg + k] for k in range(4))
-    y_inv, neg_a, neg_b = (blk[:, :, 2 * lg + 4 + k] for k in range(3))
-    t0, t0r = blk[:, :, 2 * lg + 7], blk[:, :, 2 * lg + 8]
+    u = jnp.transpose(blk[:, :, :lg], (2, 0, 1))           # (lg, L, P)
+    r, x, rc, z = (blk[:, :, lg + k] for k in range(4))
+    y_inv, neg_a, neg_b = (blk[:, :, lg + 4 + k] for k in range(3))
+    allinv = blk[:, :, lg + 7]
+
+    # derive the full challenge set from the compact block (the C++ side
+    # used to upload these; 448 B/proof instead of 672 B at nm = 64)
+    u_sq = S.smul(u, u)                                    # (lg, L, P)
+    ones = _ones_like(allinv)
+    pres = [ones]                                          # prod u[<k]
+    for k in range(1, lg):
+        pres.append(S.smul(pres[-1], u[k - 1]))
+    sufs = [None] * lg + [ones]                            # prod u[>k]
+    for k in range(lg - 1, -1, -1):
+        sufs[k] = S.smul(sufs[k + 1], u[k])
+    uinv = jnp.stack([S.smul(S.smul(allinv, pres[k]), sufs[k + 1])
+                      for k in range(lg)])
+    u_inv_sq = S.smul(uinv, uinv)
+    prod = S.smul(pres[lg - 1], u[lg - 1])                 # prod(u)
+    t0 = S.smul(r, allinv)
+    t0r = S.smul(r, prod)
 
     rx = S.smul(r, x)
     rcx = S.smul(rc, x)

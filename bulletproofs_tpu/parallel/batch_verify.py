@@ -51,7 +51,7 @@ def _load_native_prep():
         lib = ctypes.CDLL(so)
         lib.rangeproof_verify_prep.restype = ctypes.c_int
         lib.rangeproof_verify_prep_batch.restype = ctypes.c_int
-        lib.rangeproof_verify_replay_batch.restype = ctypes.c_int
+        lib.rangeproof_verify_replay_batch_c.restype = ctypes.c_int
         lib.rist_batch_decompress.restype = ctypes.c_int
         lib.rist_is_identity.restype = ctypes.c_int
         lib.rist_msm.restype = None
@@ -235,7 +235,9 @@ class BatchVerifier:
         accept flag.  The O(nm)-per-proof scalar streams run on device --
         the Pallas kernel (ops/verify_pallas.py) on TPU, the XLA form
         (ops/verify_stages.py) elsewhere; uploads are the dynamic points
-        plus a (2*lg+9)-scalar challenge block per proof."""
+        plus a COMPACT (lg+8)-scalar challenge block per proof (the device
+        derives u^2, u^-2, t0, t0r itself -- H2D bytes floor the batch
+        latency through a tunnel)."""
         n, m = self.n, self.m
         nm = n * m
         lg = nm.bit_length() - 1
@@ -289,7 +291,7 @@ class BatchVerifier:
         n, m = self.n, self.m
         lg = (n * m).bit_length() - 1
         n_dyn_per = 4 + 2 * lg + m
-        nblk = 2 * lg + 9
+        nblk = lg + 8                  # COMPACT challenge block
         plen = 32 * (9 + 2 * lg)
         count = len(transcripts)
         p_pad = -(-count // 256) * 256
@@ -313,7 +315,7 @@ class BatchVerifier:
         cr = rng.randbytes(128 * count)
         blocks = ctypes.create_string_buffer(32 * nblk * count)
         pair = ctypes.create_string_buffer(64)
-        rc = _NATIVE_PREP.rangeproof_verify_replay_batch(
+        rc = _NATIVE_PREP.rangeproof_verify_replay_batch_c(
             strobes, ctypes.c_size_t(strobe_size),
             proofs_blob, ctypes.c_size_t(plen), vcs_blob,
             ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(count),

@@ -98,6 +98,8 @@ class BatchProver:
         self.force_device = False    # tests: exercise the device path on CPU
         self.fused = True            # ONE-program device prove (set False to
                                      # exercise the per-stage legacy pipeline)
+        self.use_segmented = None    # None = auto: the 3-program segmented
+                                     # rest for aggregated m > 1 on TPU
         from ..ops import prover_stages as PS
         # compact stage-0 streams: A touches only window 0 of each G/H
         # (coefficients in {0, +-1}); S drops the zero-coefficient B column
@@ -141,11 +143,13 @@ class BatchProver:
                 if v < 0 or v >> self.n:
                     raise ValueError(f"value out of range for {self.n}-bit proof")
         if fixed_msm._on_tpu() or self.force_device:
-            # fused two-program path for m = 1 (the throughput config);
-            # aggregated statements keep the per-stage pipeline -- the
-            # N = n*m scan program at m >= 8 exceeds what the remote
-            # Mosaic compiler reliably digests
-            if self.fused and (self.m == 1 or self.force_device):
+            # fused device-transcript path: two programs for m = 1 (the
+            # throughput config); aggregated statements run the SEGMENTED
+            # form (ops/prover_stages.prove_rest_segmented -- three
+            # bounded-size executables with a shape-uniform round step),
+            # since the one-scan program at N = n*m >= 256 exceeds what
+            # the remote Mosaic compiler reliably digests
+            if self.fused:
                 # Snapshot the Fiat-Shamir states first: with interleaved
                 # halves, one half may have written its advanced post-IPP
                 # STROBE state back before the other half throws, and the
@@ -268,7 +272,15 @@ class BatchProver:
         yz_rows = jnp.asarray(np.frombuffer(yz.raw, np.uint8)
                               .reshape(3 * count, 32))
 
-        rest = PS.prove_rest_fused if on_tpu else PS.prove_rest_eager
+        use_seg = getattr(self, "use_segmented", None)
+        if use_seg is None:
+            use_seg = on_tpu and m > 1
+        if use_seg:
+            rest = PS.prove_rest_segmented
+        elif on_tpu:
+            rest = PS.prove_rest_fused
+        else:
+            rest = PS.prove_rest_eager
         rest_dev = rest(n, m, niels, jnp.asarray(states_z), red, bits_u8,
                         yz_rows, vb_bytes)
         tb, lr_all, fin, st = (np.asarray(x) for x in (yield rest_dev))

@@ -20,6 +20,39 @@ from ..transcript import Transcript
 from ..utils.util import inner_product
 
 
+def _device_linear_check(dyn_bytes, dyn_scalars, static_scalars,
+                         static_points) -> bool:
+    """Fused device check for LinearProof.batch_verify: batch-decompress
+    the compressed dynamic points, one device MSM over
+    [dyn | B, F, G..], return (all valid) AND (result == identity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..ops import vec_curve as VC
+    from ..ops import vec_msm
+
+    nd = len(dyn_bytes)
+    padded = -(-nd // 256) * 256
+    raw = np.zeros((padded, 32), np.uint8)
+    raw[:nd] = np.frombuffer(b"".join(dyn_bytes), np.uint8).reshape(nd, 32)
+    valid, dyn_pts = VC.decompress_device(jnp.asarray(raw))
+    static = jnp.asarray(VC.points_to_lanes(static_points))
+    pts = jnp.concatenate([dyn_pts, static], axis=-1)
+    sb = np.zeros((padded + len(static_points), 33), np.uint8)
+    sb[:nd, :32] = np.frombuffer(
+        b"".join(s.to_bytes() for s in dyn_scalars), np.uint8).reshape(nd, 32)
+    sb[padded:, :32] = np.frombuffer(
+        b"".join(s.to_bytes() for s in static_scalars),
+        np.uint8).reshape(-1, 32)
+    if vec_msm.on_tpu():
+        from ..ops import msm_pallas
+        _, flag = msm_pallas.msm_lanes_flag(pts, sb)
+    else:
+        flag = VC._is_identity_jit(vec_msm.msm_lanes(pts, sb))
+    ok, all_valid = jax.device_get((flag, jnp.all(valid)))
+    return bool(all_valid) and bool(np.asarray(ok).reshape(-1)[0])
+
+
 class LinearProof:
     __slots__ = ("L_vec", "R_vec", "S", "a", "r")
 
@@ -208,7 +241,8 @@ class LinearProof:
 
     @staticmethod
     def batch_verify(items, G: List[RistrettoPoint], F: RistrettoPoint,
-                     B: RistrettoPoint, rng=None, msm=None) -> None:
+                     B: RistrettoPoint, rng=None, msm=None,
+                     device=None) -> None:
         """Verify many linear proofs sharing generators (G, F, B) in ONE
         MSM == identity.
 
@@ -222,12 +256,18 @@ class LinearProof:
 
         gets a random weight; the shared G/F/B scalars accumulate across
         proofs.  Raises ProofError on any failure; bisect sub-batches with
-        fresh transcripts to isolate a failing proof."""
+        fresh transcripts to isolate a failing proof.
+
+        `device=None` (auto) routes the fused MSM through the TPU kernel --
+        dynamic points upload COMPRESSED (32 B each) and decompress on
+        device -- once the batch exceeds settings.linear_device_msm_floor
+        points; True/False force/forbid it (`msm` injection wins)."""
         import secrets as _secrets
         rng = rng or type("R", (), {"randbytes": staticmethod(
             _secrets.token_bytes)})()
         if not items:
             raise ProofError.verification()
+        msm_injected = msm is not None
         if msm is None:
             from ..ops.vec_msm import msm_host_auto as msm
         zero = Scalar.zero()
@@ -235,6 +275,16 @@ class LinearProof:
         acc_g = [zero] * len(G)
         dyn_scalars: List[Scalar] = []
         dyn_points: List[RistrettoPoint] = []
+        dyn_bytes: List[bytes] = []
+        if device is None:
+            from ..config import settings
+            from ..ops.vec_msm import on_tpu
+            total = (sum(2 + 2 * len(p.L_vec) for p, _, _, _ in items)
+                     + 2 + len(G))
+            use_device = (not msm_injected and on_tpu()
+                          and total >= settings.linear_device_msm_floor)
+        else:
+            use_device = bool(device) and not msm_injected
         for proof, transcript, C, b_vec in items:
             n = len(b_vec)
             if len(G) < n:
@@ -254,13 +304,19 @@ class LinearProof:
             transcript.append_point(b"S", proof.S)
             x_star = transcript.challenge_scalar(b"x_star")
 
-            S = RistrettoPoint.decompress(proof.S)
-            C_pt = RistrettoPoint.decompress(C)
-            Ls = [RistrettoPoint.decompress(p) for p in proof.L_vec]
-            Rs = [RistrettoPoint.decompress(p) for p in proof.R_vec]
-            if S is None or C_pt is None or any(
-                    p is None for p in Ls + Rs):
-                raise ProofError.verification()
+            if use_device:
+                # device path: collect compressed bytes; decompression and
+                # validity checks run on device in one program
+                dyn_bytes.extend([bytes(proof.S), bytes(C)]
+                                 + list(proof.L_vec) + list(proof.R_vec))
+            else:
+                S = RistrettoPoint.decompress(proof.S)
+                C_pt = RistrettoPoint.decompress(C)
+                Ls = [RistrettoPoint.decompress(p) for p in proof.L_vec]
+                Rs = [RistrettoPoint.decompress(p) for p in proof.R_vec]
+                if S is None or C_pt is None or any(
+                        p is None for p in Ls + Rs):
+                    raise ProofError.verification()
 
             w = Scalar.random(rng)
             acc_b = acc_b - w * proof.r
@@ -273,8 +329,15 @@ class LinearProof:
             dyn_scalars.extend([w, wx]
                                + [wx * x for x in x_vec]
                                + [wx * xi for xi in x_inv_vec])
-            dyn_points.extend([S, C_pt] + Ls + Rs)
+            if not use_device:
+                dyn_points.extend([S, C_pt] + Ls + Rs)
 
+        if use_device:
+            if not _device_linear_check(dyn_bytes, dyn_scalars,
+                                        [acc_b, acc_f] + acc_g,
+                                        [B, F] + list(G)):
+                raise ProofError.verification()
+            return
         result = msm(dyn_scalars + [acc_b, acc_f] + acc_g,
                      dyn_points + [B, F] + list(G))
         if not result.is_identity():

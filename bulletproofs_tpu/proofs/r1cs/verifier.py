@@ -26,6 +26,61 @@ from .proof import R1CSProof
 # see prover._NATIVE_MIN_N
 _NATIVE_MIN_N = 1024
 
+# with a TPU attached, route the verification mega-MSM (~2*padded_n + dyn
+# points, reference verifier.rs:456-491) through the device Pippenger
+# kernel from settings.r1cs_device_msm_floor up: the static [G | H]
+# generator tensor is cached device-resident, so the per-verify upload is
+# just the scalar stream (33 B/point) -- far below the host C++ MSM's time
+# at 2^16+
+
+
+def _use_device_msm(padded_n: int) -> bool:
+    from ...config import settings
+    from ...ops.vec_msm import on_tpu
+    return on_tpu() and padded_n >= settings.r1cs_device_msm_floor
+
+
+def _device_gh_lanes(bp_gens: BulletproofGens, gens, padded_n: int):
+    """Device-resident [G(padded_n) | H(padded_n)] lane tensor, cached on
+    the generator object (one-time host->device conversion per size)."""
+    import jax.numpy as jnp
+    from ...ops import vec_curve as VC
+    cache = getattr(bp_gens, "_device_gh_cache", None)
+    if cache is None:
+        cache = bp_gens._device_gh_cache = {}
+    t = cache.get(padded_n)
+    if t is None:
+        t = cache[padded_n] = jnp.asarray(
+            VC.points_to_lanes(gens.G(padded_n) + gens.H(padded_n)))
+    return t
+
+
+def _device_msm_is_identity(bp_gens, gens, padded_n: int, head_pts,
+                            tail_pts, sc_blob: bytes) -> bool:
+    """One device mega-MSM over [head_pts | G | H | tail_pts] with the
+    packed scalar blob (same order); returns the identity check."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ...ops import vec_curve as VC
+    from ...ops import msm_pallas
+
+    gh = _device_gh_lanes(bp_gens, gens, padded_n)
+    parts = [jnp.asarray(VC.points_to_lanes(head_pts)), gh]
+    if tail_pts:
+        parts.append(jnp.asarray(VC.points_to_lanes(tail_pts)))
+    pts = jnp.concatenate(parts, axis=-1)
+    total = pts.shape[-1]
+    sb = np.zeros((total, 33), np.uint8)
+    sb[:, :32] = np.frombuffer(sc_blob, np.uint8).reshape(total, 32)
+    from ...ops.vec_msm import on_tpu
+    if on_tpu():
+        _, flag = msm_pallas.msm_lanes_flag(pts, sb)
+    else:       # CPU tests of this path (Pallas does not lower on CPU)
+        from ...ops import vec_msm
+        flag = VC._is_identity_jit(vec_msm.msm_lanes(pts, sb))
+    return bool(np.asarray(jax.device_get(flag)).reshape(-1)[0])
+
 
 class PackedScalarVec:
     """n packed 32-byte scalars.  The large-circuit verifier keeps its g/h
@@ -174,7 +229,21 @@ class Verifier(RandomizableConstraintSystem):
         if (isinstance(g_scalars, PackedScalarVec) and _NATIVE is not None
                 and not msm_injected):
             # byte-path mega-MSM: dyn points packed fresh (a handful), the
-            # static [G | H] blob cached on the generator object
+            # static [G | H] generators cached on the generator object
+            # (packed bytes for the host MSM, a lane tensor for the device)
+            sc_blob = (b"".join(s.to_bytes() for s in dyn_scalars[:k])
+                       + b_scalar.to_bytes() + bb_scalar.to_bytes()
+                       + g_scalars.raw + h_scalars.raw
+                       + b"".join(s.to_bytes() for s in dyn_scalars[k:]))
+            if _use_device_msm(padded_n):
+                # device mega-MSM (cached device-resident G/H); the scalar
+                # stream is the only per-verify upload
+                if not _device_msm_is_identity(
+                        bp_gens, gens, padded_n,
+                        dyn[:k] + [pc_gens.B, pc_gens.B_blinding], dyn[k:],
+                        sc_blob):
+                    raise R1CSError(R1CSError.VERIFICATION)
+                return
             cache = getattr(bp_gens, "_ipp_basis_cache", None)
             if cache is None:
                 cache = bp_gens._ipp_basis_cache = {}
@@ -182,10 +251,6 @@ class Verifier(RandomizableConstraintSystem):
             if packed_gh is None:
                 packed_gh = cache[(padded_n, 1)] = pack_points(
                     gens.G(padded_n) + gens.H(padded_n))
-            sc_blob = (b"".join(s.to_bytes() for s in dyn_scalars[:k])
-                       + b_scalar.to_bytes() + bb_scalar.to_bytes()
-                       + g_scalars.raw + h_scalars.raw
-                       + b"".join(s.to_bytes() for s in dyn_scalars[k:]))
             pt_blob = (pack_points(dyn[:k] + [pc_gens.B, pc_gens.B_blinding])
                        + packed_gh + pack_points(dyn[k:]))
             total = len(dyn) + 2 + 2 * padded_n
@@ -463,6 +528,15 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
             _NV.sc_vec_axpy(len(acc_h), acc_h_buf, Scalar.one().to_bytes(),
                             blob)
         from ...core.ristretto import _NATIVE, pack_points
+        sc_blob = (b"".join(s.to_bytes() for s in all_dyn_s)
+                   + acc_b.to_bytes() + acc_bb.to_bytes()
+                   + acc_g_buf.raw + acc_h_buf.raw)
+        if _use_device_msm(acc_n):
+            if not _device_msm_is_identity(
+                    bp_gens, gens, acc_n,
+                    dyn + [pc_gens.B, pc_gens.B_blinding], [], sc_blob):
+                raise R1CSError(R1CSError.VERIFICATION)
+            return
         cache = getattr(bp_gens, "_ipp_basis_cache", None)
         if cache is None:
             cache = bp_gens._ipp_basis_cache = {}
@@ -470,9 +544,6 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
         if packed_gh is None:
             packed_gh = cache[(acc_n, 1)] = pack_points(
                 gens.G(acc_n) + gens.H(acc_n))
-        sc_blob = (b"".join(s.to_bytes() for s in all_dyn_s)
-                   + acc_b.to_bytes() + acc_bb.to_bytes()
-                   + acc_g_buf.raw + acc_h_buf.raw)
         pt_blob = (pack_points(dyn + [pc_gens.B, pc_gens.B_blinding])
                    + packed_gh)
         total = len(dyn) + 2 + 2 * acc_n

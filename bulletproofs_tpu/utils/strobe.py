@@ -149,14 +149,22 @@ class CStrobe128:
 
     __slots__ = ("buf",)
     _SIZE = 208  # sizeof(Strobe) with alignment padding
+    _INIT_CACHE: dict = {}   # protocol label -> post-init state blob (the
+    # init Keccak-f is identical for every transcript with the same
+    # protocol label; batched verification creates thousands)
 
     def __init__(self, protocol_label: bytes = None, _clone: "CStrobe128" = None):
         import ctypes
         if _clone is not None:
             self.buf = ctypes.create_string_buffer(_clone.buf.raw, self._SIZE)
             return
-        self.buf = ctypes.create_string_buffer(self._SIZE)
-        _NATIVE.strobe_init(self.buf, protocol_label, len(protocol_label))
+        cached = self._INIT_CACHE.get(protocol_label)
+        if cached is None:
+            self.buf = ctypes.create_string_buffer(self._SIZE)
+            _NATIVE.strobe_init(self.buf, protocol_label, len(protocol_label))
+            self._INIT_CACHE[protocol_label] = self.buf.raw
+        else:
+            self.buf = ctypes.create_string_buffer(cached, self._SIZE)
 
     def clone(self) -> "CStrobe128":
         return CStrobe128(_clone=self)

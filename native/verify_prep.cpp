@@ -371,6 +371,102 @@ int lg_of(u64 nm) {
   return lg;
 }
 
+// static pair accumulation: [0] += rw * (-e_blinding - c*t_x_blinding)
+// (B_blinding), [1] += rw * (w*(t_x - a*b) + c*(delta - t_x)) (B); shared
+// by the full and compact replay-batch entry points.
+void vprep_accum_static_pair(const VPrepState& st, u64 n, u64 m,
+                             uint8_t* static_pair) {
+  const u64 nm = n * m;
+  Sc zz;
+  sc_mul(zz, st.z, st.z);
+  Sc t1;
+  sc_mul(t1, st.c, st.t_x_blinding);
+  sc_add(t1, t1, st.e_blinding);
+  sc_neg(t1, t1);
+  sc_mul(t1, st.rw, t1);
+  Sc cur;
+  std::memcpy(cur.v, static_pair, 32);
+  sc_add(cur, cur, t1);
+  std::memcpy(static_pair, cur.v, 32);
+
+  auto sum_powers = [](const Sc& xv, u64 cnt) {
+    Sc result, factor;
+    if (cnt == 0) return Sc{{0, 0, 0, 0}};
+    if (cnt == 1) return Sc{{1, 0, 0, 0}};
+    Sc one_ = {{1, 0, 0, 0}};
+    sc_add(result, one_, xv);
+    factor = xv;
+    u64 mm = cnt;
+    while (mm > 2) {
+      sc_mul(factor, factor, factor);
+      Sc t2;
+      sc_mul(t2, factor, result);
+      sc_add(result, result, t2);
+      mm /= 2;
+    }
+    return result;
+  };
+  Sc two = {{2, 0, 0, 0}};
+  Sc sum_y = sum_powers(st.y, nm);
+  Sc sum_2 = sum_powers(two, n);
+  Sc sum_z = sum_powers(st.z, m);
+  Sc zmzz, d0, z3, d1, delta;
+  sc_sub(zmzz, st.z, zz);
+  sc_mul(d0, zmzz, sum_y);
+  sc_mul(z3, zz, st.z);
+  sc_mul(d1, z3, sum_2);
+  sc_mul(d1, d1, sum_z);
+  sc_sub(delta, d0, d1);
+  Sc abm, wterm, dterm, bp;
+  sc_mul(abm, st.a, st.b);
+  sc_sub(wterm, st.t_x, abm);
+  sc_mul(wterm, st.w, wterm);
+  sc_sub(dterm, delta, st.t_x);
+  sc_mul(dterm, st.c, dterm);
+  sc_add(bp, wterm, dterm);
+  sc_mul(bp, st.rw, bp);
+  std::memcpy(cur.v, static_pair + 32, 32);
+  sc_add(cur, cur, bp);
+  std::memcpy(static_pair + 32, cur.v, 32);
+}
+
+// shared front half of the replay-batch entry points: prechecks, the
+// 8-lockstep transcript replay, and the ONE Montgomery batch inversion of
+// prod(u)*y across all proofs.  Returns 0 and a new[]'d sts array the
+// caller owns, or 100 + index of the first failing proof.
+int vprep_replay_invert(uint8_t* strobes, size_t strobe_stride,
+                        const uint8_t* proofs, size_t proof_len,
+                        const uint8_t* vcs, u64 n, u64 m, u64 count,
+                        const uint8_t* cr_wides, int lg, VPrepState*& out) {
+  VPrepState* sts = new VPrepState[count];
+  for (u64 i = 0; i < count; ++i)
+    if (vprep_precheck(proofs + i * proof_len, lg) != 0) {
+      delete[] sts;
+      return 100 + (int)i;
+    }
+  for (u64 i = 0; i < count; i += 8) {
+    const int k = (int)(count - i < 8 ? count - i : 8);
+    Strobe* ss[8];
+    for (int l = 0; l < k; ++l)
+      ss[l] = (Strobe*)(strobes + (i + l) * strobe_stride);
+    vprep_replay_x(k, ss, proofs + i * proof_len, proof_len,
+                   vcs + i * 32 * m, n, m, cr_wides + i * 128, lg, sts + i);
+  }
+  Sc* prefix = new Sc[count + 1];
+  prefix[0] = {{1, 0, 0, 0}};
+  for (u64 i = 0; i < count; ++i)
+    sc_mul(prefix[i + 1], prefix[i], sts[i].prod_y);
+  Sc inv_all;
+  sc_invert(inv_all, prefix[count]);
+  for (u64 i = count; i-- > 0;) {
+    sc_mul(sts[i].prod_y_inv, inv_all, prefix[i]);
+    sc_mul(inv_all, inv_all, sts[i].prod_y);
+  }
+  delete[] prefix;
+  out = sts;
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -495,75 +591,32 @@ int rangeproof_verify_prep_batch(uint8_t* strobes, size_t strobe_stride,
   return 0;
 }
 
-// Replay-only batched variant feeding the DEVICE-side scalar emit
-// (ops/verify_stages.py): the O(nm)-per-proof g/h/s-vector loops of
-// vprep_emit move to the TPU; the host does only the transcript replay,
-// the shared batch inversion, and a handful of muls per proof.
+// COMPACT-block variant for the TPU path: (lg + 8) scalars per proof
+// instead of (2*lg + 9).  The challenge-block upload is a large share of
+// the tunnel-H2D bytes that floor batched-verification latency (448 B vs
+// 672 B per proof at nm = 64); the device derives u_sq, the per-u inverse
+// squares (from allinv via prefix/suffix products), t0 = rw*prod(u)^-1 and
+// t0r = rw*prod(u) in-kernel (ops/verify_pallas.py _derive_block).
 //
-// Per proof the output "challenge block" is (2*lg + 9) canonical 32-byte
-// scalars:
-//   [0..lg)        u_sq[i]    = u_i^2
-//   [lg..2lg)      u_inv_sq[i] = u_i^-2
-//   2lg+0   r       (this proof's batch weight, reduced mod l)
-//   2lg+1   x
-//   2lg+2   rc      = r * c
-//   2lg+3   z
-//   2lg+4   y_inv
-//   2lg+5   neg_a   = -a
-//   2lg+6   neg_b   = -b
-//   2lg+7   t0      = r * prod(u_i)^-1  (seed of the weighted s-vector:
-//                     t[i] = r*s[i] doubles up over u_sq)
-//   2lg+8   t0r     = r * prod(u_i)     (seed of the REVERSED weighted
-//                     s-vector: r*s[nm-1-i] doubles up over u_inv_sq,
-//                     since the bits of nm-1-i complement those of i)
-// The device derives rx, rcx, rcxx, rz, rzz, rczz, r*u_sq, r*u_inv_sq,
-// both s-vector orientations, y^-i powers, and the g/h static-generator
-// scalars, then accumulates them across proofs on-chip (reference scalar
-// formulas: src/range_proof/mod.rs:406-445).
-//
-//   blocks:     count * (lg + 8) * 32 bytes out
-//   static_pair: 2 * 32 bytes, ACCUMULATED in place across proofs:
-//                [0] += r * (-e_blinding - c*t_x_blinding)   (B_blinding)
-//                [1] += r * (w*(t_x - a*b) + c*(delta - t_x)) (B)
-// Returns 0 on success, or 100 + index of the first failing proof.
-int rangeproof_verify_replay_batch(uint8_t* strobes, size_t strobe_stride,
-                                   const uint8_t* proofs, size_t proof_len,
-                                   const uint8_t* vcs, u64 n, u64 m, u64 count,
-                                   const uint8_t* cr_wides, uint8_t* blocks,
-                                   uint8_t* static_pair) {
+// Per-proof block layout ((lg + 8) canonical 32-byte scalars):
+//   [0..lg)  u[i]
+//   lg+0 rw | +1 x | +2 rc = rw*c | +3 z | +4 y_inv | +5 -a | +6 -b
+//   | +7 allinv = prod(u)^-1
+// static_pair semantics identical to rangeproof_verify_replay_batch.
+int rangeproof_verify_replay_batch_c(uint8_t* strobes, size_t strobe_stride,
+                                     const uint8_t* proofs, size_t proof_len,
+                                     const uint8_t* vcs, u64 n, u64 m,
+                                     u64 count, const uint8_t* cr_wides,
+                                     uint8_t* blocks, uint8_t* static_pair) {
   const int lg = lg_of(n * m);
   if (lg < 0) return 1;
   if (proof_len != 32 * (9 + 2 * (size_t)lg)) return 2;
-  const u64 nm = n * m;
-  const size_t blk_sz = 32 * (2 * (size_t)lg + 9);
+  const size_t blk_sz = 32 * ((size_t)lg + 8);
 
-  VPrepState* sts = new VPrepState[count];
-  for (u64 i = 0; i < count; ++i)
-    if (vprep_precheck(proofs + i * proof_len, lg) != 0) {
-      delete[] sts;
-      return 100 + (int)i;
-    }
-  for (u64 i = 0; i < count; i += 8) {
-    const int k = (int)(count - i < 8 ? count - i : 8);
-    Strobe* ss[8];
-    for (int l = 0; l < k; ++l)
-      ss[l] = (Strobe*)(strobes + (i + l) * strobe_stride);
-    vprep_replay_x(k, ss, proofs + i * proof_len, proof_len,
-                   vcs + i * 32 * m, n, m, cr_wides + i * 128, lg, sts + i);
-  }
-
-  // shared Montgomery batch inversion of prod(u)*y across all proofs
-  Sc* prefix = new Sc[count + 1];
-  prefix[0] = {{1, 0, 0, 0}};
-  for (u64 i = 0; i < count; ++i)
-    sc_mul(prefix[i + 1], prefix[i], sts[i].prod_y);
-  Sc inv_all;
-  sc_invert(inv_all, prefix[count]);
-  for (u64 i = count; i-- > 0;) {
-    sc_mul(sts[i].prod_y_inv, inv_all, prefix[i]);
-    sc_mul(inv_all, inv_all, sts[i].prod_y);
-  }
-  delete[] prefix;
+  VPrepState* sts = nullptr;
+  int rc = vprep_replay_invert(strobes, strobe_stride, proofs, proof_len,
+                               vcs, n, m, count, cr_wides, lg, sts);
+  if (rc != 0) return rc;
 
   for (u64 i = 0; i < count; ++i) {
     const VPrepState& st = sts[i];
@@ -571,94 +624,22 @@ int rangeproof_verify_replay_batch(uint8_t* strobes, size_t strobe_stride,
     Sc allinv, y_inv;
     sc_mul(allinv, st.prod_y_inv, st.y);     // prod(u)^-1
     sc_mul(y_inv, st.prod_y_inv, st.prod);   // y^-1
-    for (int k = 0; k < lg; ++k) {
-      Sc u_sq;
-      sc_mul(u_sq, st.u[k], st.u[k]);
-      std::memcpy(blk + 32 * k, u_sq.v, 32);
-    }
-    // per-u inverse squares from the shared inversion (suffix/prefix)
-    {
-      Sc suf[kMaxLg + 1];
-      suf[lg] = {{1, 0, 0, 0}};
-      for (int k = lg - 1; k >= 0; --k) sc_mul(suf[k], suf[k + 1], st.u[k]);
-      Sc pre = {{1, 0, 0, 0}};
-      for (int k = 0; k < lg; ++k) {
-        Sc t0_, uinv, uinv_sq;
-        sc_mul(t0_, allinv, pre);
-        sc_mul(uinv, t0_, suf[k + 1]);
-        sc_mul(uinv_sq, uinv, uinv);
-        std::memcpy(blk + 32 * (lg + k), uinv_sq.v, 32);
-        sc_mul(pre, pre, st.u[k]);
-      }
-    }
-    Sc rc_, neg_a, neg_b, t0, t0r;
+    for (int k = 0; k < lg; ++k)
+      std::memcpy(blk + 32 * k, st.u[k].v, 32);
+    Sc rc_, neg_a, neg_b;
     sc_mul(rc_, st.rw, st.c);
     sc_neg(neg_a, st.a);
     sc_neg(neg_b, st.b);
-    sc_mul(t0, st.rw, allinv);
-    sc_mul(t0r, st.rw, st.prod);
-    std::memcpy(blk + 32 * (2 * lg + 0), st.rw.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 1), st.x.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 2), rc_.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 3), st.z.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 4), y_inv.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 5), neg_a.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 6), neg_b.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 7), t0.v, 32);
-    std::memcpy(blk + 32 * (2 * lg + 8), t0r.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 0), st.rw.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 1), st.x.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 2), rc_.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 3), st.z.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 4), y_inv.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 5), neg_a.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 6), neg_b.v, 32);
+    std::memcpy(blk + 32 * ((size_t)lg + 7), allinv.v, 32);
 
-    // static pair: B_blinding and B scalars (host: needs w, t_x, delta)
-    Sc zz;
-    sc_mul(zz, st.z, st.z);
-    Sc t1;
-    sc_mul(t1, st.c, st.t_x_blinding);
-    sc_add(t1, t1, st.e_blinding);
-    sc_neg(t1, t1);
-    sc_mul(t1, st.rw, t1);
-    Sc cur;
-    std::memcpy(cur.v, static_pair, 32);
-    sc_add(cur, cur, t1);
-    std::memcpy(static_pair, cur.v, 32);
-
-    auto sum_powers = [](const Sc& xv, u64 cnt) {
-      Sc result, factor;
-      if (cnt == 0) return Sc{{0, 0, 0, 0}};
-      if (cnt == 1) return Sc{{1, 0, 0, 0}};
-      Sc one_ = {{1, 0, 0, 0}};
-      sc_add(result, one_, xv);
-      factor = xv;
-      u64 mm = cnt;
-      while (mm > 2) {
-        sc_mul(factor, factor, factor);
-        Sc t2;
-        sc_mul(t2, factor, result);
-        sc_add(result, result, t2);
-        mm /= 2;
-      }
-      return result;
-    };
-    Sc two = {{2, 0, 0, 0}};
-    Sc sum_y = sum_powers(st.y, nm);
-    Sc sum_2 = sum_powers(two, n);
-    Sc sum_z = sum_powers(st.z, m);
-    Sc zmzz, d0, z3, d1, delta;
-    sc_sub(zmzz, st.z, zz);
-    sc_mul(d0, zmzz, sum_y);
-    sc_mul(z3, zz, st.z);
-    sc_mul(d1, z3, sum_2);
-    sc_mul(d1, d1, sum_z);
-    sc_sub(delta, d0, d1);
-    Sc abm, wterm, dterm, bp;
-    sc_mul(abm, st.a, st.b);
-    sc_sub(wterm, st.t_x, abm);
-    sc_mul(wterm, st.w, wterm);
-    sc_sub(dterm, delta, st.t_x);
-    sc_mul(dterm, st.c, dterm);
-    sc_add(bp, wterm, dterm);
-    sc_mul(bp, st.rw, bp);
-    std::memcpy(cur.v, static_pair + 32, 32);
-    sc_add(cur, cur, bp);
-    std::memcpy(static_pair + 32, cur.v, 32);
+    vprep_accum_static_pair(st, n, m, static_pair);
   }
   delete[] sts;
   return 0;

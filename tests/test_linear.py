@@ -88,6 +88,23 @@ def test_linear_batch_verify(rng):
     with pytest.raises(ProofError):
         LinearProof.batch_verify([], G, F, B, rng=rng)
 
+    # device route (forced; XLA path on CPU): same accepts and rejects --
+    # decompression validity and the identity check both run on device
+    LinearProof.batch_verify(
+        [(p, Transcript(l), C, list(b)) for p, C, b, l in made],
+        G, F, B, rng=rng, device=True)
+    with pytest.raises(ProofError):
+        items = [(bad, Transcript(l0), C0, list(b0))] + [
+            (p, Transcript(l), C, list(b)) for p, C, b, l in made[1:]]
+        LinearProof.batch_verify(items, G, F, B, rng=rng, device=True)
+    # an invalid point encoding fails on the device validity flags
+    garb = LinearProof.from_bytes(p0.to_bytes())
+    garb.S = b"\xff" * 32
+    with pytest.raises(ProofError):
+        items = [(garb, Transcript(l0), C0, list(b0))] + [
+            (p, Transcript(l), C, list(b)) for p, C, b, l in made[1:]]
+        LinearProof.batch_verify(items, G, F, B, rng=rng, device=True)
+
 
 def test_linear_rejects_wrong_commitment(rng):
     proof, C, G, F, B, b = _linear_helper(16, rng)

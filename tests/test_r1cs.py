@@ -322,6 +322,31 @@ def test_batch_verify_mixed_native_python_paths(rng):
         verifier_mod._NATIVE_MIN_N = old
 
 
+def test_device_mega_msm_path(rng, monkeypatch):
+    """The device route of the byte-path verification mega-MSM (cached
+    device G/H lanes + one fused MSM; the r1cs_scale production path on
+    TPU) accepts valid proofs and rejects tampered ones.  On CPU the inner
+    MSM runs the XLA twin of the Pallas kernel."""
+    from bulletproofs_tpu.core._native import LIB
+    if LIB is None:
+        pytest.skip("native backend not built")
+    from bulletproofs_tpu.proofs.r1cs import batch_verify
+    from bulletproofs_tpu.proofs.r1cs import verifier as verifier_mod
+
+    monkeypatch.setattr(verifier_mod, "_NATIVE_MIN_N", 8)
+    monkeypatch.setattr(verifier_mod, "_use_device_msm", lambda pn: pn >= 8)
+    shuffle_proof_roundtrip(9, rng)
+    with pytest.raises(R1CSError):
+        shuffle_proof_roundtrip(5, rng, tamper=True)
+    # the batch_verify byte tail through the same device route
+    items = [_shuffle_instance(k, 60 + k, rng) for k in (9, 17)]
+    batch_verify(items, PC, BP, rng=rng)
+    items = [_shuffle_instance(9, 80, rng),
+             _shuffle_instance(9, 81, rng, tamper=True)]
+    with pytest.raises(R1CSError):
+        batch_verify(items, PC, BP, rng=rng)
+
+
 def test_native_path_rejects_lr_length_mismatch(rng):
     """A directly-constructed proof with len(R_vec) < len(L_vec) must raise
     R1CSError, not under-read the native challenge buffer."""

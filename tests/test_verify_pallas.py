@@ -24,7 +24,7 @@ def test_emit_kernel_matches_xla_oracle(n, m):
     try:
         nm = n * m
         lg = nm.bit_length() - 1
-        nblk = 2 * lg + 9
+        nblk = lg + 8          # compact challenge block
         P = VP.BLKP * 2          # two tiles: exercises the accumulation
         rng = np.random.RandomState(7 + n + m)
         ints = [int.from_bytes(rng.bytes(31), "little") % ELL
