@@ -84,7 +84,7 @@ def bench_linear():
     from bulletproofs_tpu.utils.util import inner_product
     rng = Rng()
     pc = PedersenGens()
-    for n in (64, 256, 1024):
+    for n in (64, 128, 256, 512, 1024):
         bp = BulletproofGens(n, 1)
         G = bp.share(0).G(n)
         a = [Scalar.random(rng) for _ in range(n)]
@@ -106,6 +106,43 @@ def bench_linear():
 
         dt = timeit(verify, reps=1)
         record("linear proof verification", f"n={n}", dt)
+
+
+def bench_linear_batch():
+    """Batched linear-proof verification: host accumulation path vs the
+    device route (compressed dyn upload + device decompress + fused MSM,
+    proofs/linear._device_linear_check).  One proof tiled (identical
+    verification work per proof)."""
+    from bulletproofs_tpu import (BulletproofGens, PedersenGens, Transcript,
+                                  Scalar, LinearProof)
+    from bulletproofs_tpu.core.ristretto import multiscalar_mul
+    from bulletproofs_tpu.utils.util import inner_product
+    from bulletproofs_tpu.ops.vec_msm import on_tpu
+    rng = Rng()
+    pc = PedersenGens()
+    for n, count in ((128, 256), (1024, 64)):
+        bp = BulletproofGens(n, 1)
+        G = bp.share(0).G(n)
+        a = [Scalar.random(rng) for _ in range(n)]
+        b = [Scalar.random(rng) for _ in range(n)]
+        r = Scalar.random(rng)
+        C = multiscalar_mul(a + [r, inner_product(a, b)],
+                            G + [pc.B_blinding, pc.B]).compress()
+        proof = LinearProof.create(Transcript(b"lb"), rng, C, r, list(a),
+                                   list(b), list(G), pc.B, pc.B_blinding)
+
+        def batch(device):
+            LinearProof.batch_verify(
+                [(proof, Transcript(b"lb"), C, list(b))
+                 for _ in range(count)],
+                G, pc.B, pc.B_blinding, rng=rng, device=device)
+
+        dt = timeit(lambda: batch(False), reps=1)
+        record("linear batch verify (host msm)", f"n={n} x{count}", dt)
+        if on_tpu():
+            batch(True)   # warm-up (compiles)
+            dt = timeit(lambda: batch(True), reps=3)
+            record("linear batch verify (device)", f"n={n} x{count}", dt)
 
 
 def bench_r1cs():
@@ -218,6 +255,16 @@ def bench_r1cs_scale():
     v.verify(proof, pc, bp, rng=rng)
     record("k-shuffle proof verification", f"k=2^15", time.time() - t0)
 
+    # warm repeat: on TPU the mega-MSM routes to the device kernel with the
+    # [G | H] tensor already cached device-resident (the steady-state rate)
+    t0 = time.time()
+    v = Verifier(Transcript(b"ShuffleScaleBench"))
+    iv = [v.commit(c) for c in ins]
+    ov = [v.commit(c) for c in outs]
+    shuffle_gadget(v, iv, ov)
+    v.verify(proof, pc, bp, rng=rng)
+    record("k-shuffle proof verification", f"k=2^15 warm", time.time() - t0)
+
 
 def bench_batch():
     """Fused batched verification (the TPU-native headline config)."""
@@ -237,6 +284,41 @@ def bench_batch():
         record("fused batch verification", f"batch={batch} n=64", dt)
         record("fused batch verification rate", f"batch={batch}",
                1.0 / (batch / dt))
+
+    # aggregated batches (m = 2, 4): nm > 64 routes to the chunked
+    # C++-emit pipeline unless settings.fused_verify_max_nm is raised --
+    # bench both to quantify the gate (VERDICT r3 item 8; decision in
+    # docs/kernels.md)
+    from bulletproofs_tpu.config import settings
+    from bulletproofs_tpu.ops.vec_msm import on_tpu
+    for m in (2, 4):
+        bpm = BulletproofGens(64, m)
+        tm = Transcript(b"batchm")
+        pm, vcm = RangeProof.prove_multiple(
+            bpm, pc, tm, list(range(7, 7 + m)),
+            [Scalar.random(rng) for _ in range(m)], 64, rng=rng)
+        bvm = BatchVerifier(bpm, pc, 64, m)
+        batch = 256
+        def runm():
+            bvm.verify_batch([pm] * batch, [vcm] * batch,
+                             [Transcript(b"batchm") for _ in range(batch)],
+                             rng=rng)
+        dt = timeit(runm, reps=2)
+        record("aggregated batch verification (chunked)",
+               f"m={m} batch={batch}", dt)
+        if on_tpu():
+            old = settings.fused_verify_max_nm
+            settings.fused_verify_max_nm = 64 * m
+            try:
+                runm()    # warm-up (compiles the nm>64 emit kernel)
+                dt = timeit(runm, reps=2)
+                record("aggregated batch verification (fused)",
+                       f"m={m} batch={batch}", dt)
+            except Exception as e:
+                record("aggregated batch verification (fused FAILED: %s)"
+                       % type(e).__name__, f"m={m} batch={batch}", -1.0)
+            finally:
+                settings.fused_verify_max_nm = old
 
 
 def bench_batch_prove():
@@ -303,7 +385,8 @@ def bench_msm():
 
 
 ALL = {"rangeproof": bench_rangeproof, "generators": bench_generators,
-       "linear": bench_linear, "r1cs": bench_r1cs,
+       "linear": bench_linear, "linear_batch": bench_linear_batch,
+       "r1cs": bench_r1cs,
        "r1cs_scale": bench_r1cs_scale, "batch": bench_batch,
        "batch_prove": bench_batch_prove, "msm": bench_msm}
 

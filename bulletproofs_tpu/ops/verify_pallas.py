@@ -341,8 +341,10 @@ def emit_digits(n: int, m: int, blk_limbs: jnp.ndarray):
         ],
         compiler_params=pltpu.CompilerParams(
             # the working set peaks ~16.2 MB at nm = 64 x BLKP = 128 --
-            # just over the default 16 MB scoped-vmem cap; v5e has headroom
-            vmem_limit_bytes=24 * 1024 * 1024),
+            # just over the default 16 MB scoped-vmem cap; v5e has headroom.
+            # Larger aggregations scale the generator-axis lanes linearly
+            # (nm = 128/256 for m = 2/4); cap at 112 MB of the 128 MB VMEM
+            vmem_limit_bytes=min(112, 24 * max(1, nm // 64)) * 1024 * 1024),
         interpret=_INTERPRET,
     )(jnp.asarray(_SCONSTS), jnp.asarray(_pow2_lanes(n, m)), blk_limbs)
     return dig, gh
