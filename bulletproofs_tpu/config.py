@@ -86,10 +86,12 @@ class Settings:
         default_factory=lambda: _env_int("BPTPU_VERIFY_CHUNK_PTS", 8192))
 
     # largest aggregation size nm routed through the fully-fused Pallas emit
-    # kernel (its VMEM working set scales with nm); larger aggregations take
-    # the chunked C++-emit pipeline.  Measured decision in docs/kernels.md.
+    # kernel (its VMEM working set scales with nm: ~16 MB at nm=64, capped
+    # at 112 MB -> nm=256 fits a v5e); larger aggregations take the chunked
+    # C++-emit pipeline.  Measured decision in docs/kernels.md: at m=2/m=4,
+    # batch=256, the fused path beat chunked 71->48 ms / 78->50 ms.
     fused_verify_max_nm: int = field(
-        default_factory=lambda: _env_int("BPTPU_FUSED_VERIFY_MAX_NM", 64))
+        default_factory=lambda: _env_int("BPTPU_FUSED_VERIFY_MAX_NM", 256))
 
     # --- constant-time policy -------------------------------------------------
     # witness-carrying proving REQUIRES the constant-time native backend:
