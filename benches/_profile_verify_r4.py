@@ -148,12 +148,12 @@ def main():
     strobes = ctypes.create_string_buffer(
         b"".join(t.strobe.buf.raw for t in tt), strobe_size * 2048)
     cr = rng.randbytes(128 * 2048)
-    nblk = 2 * lg + 9
+    nblk = lg + 8          # compact challenge block
     blocks = ctypes.create_string_buffer(32 * nblk * 2048)
     pair = ctypes.create_string_buffer(64)
     from bulletproofs_tpu.parallel.batch_verify import _NATIVE_PREP
     t0 = time.time()
-    rc = _NATIVE_PREP.rangeproof_verify_replay_batch(
+    rc = _NATIVE_PREP.rangeproof_verify_replay_batch_c(
         strobes, ctypes.c_size_t(strobe_size), pb, ctypes.c_size_t(plen), vb,
         ctypes.c_uint64(n), ctypes.c_uint64(m), ctypes.c_uint64(2048),
         cr, blocks, pair)

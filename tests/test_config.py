@@ -29,7 +29,7 @@ def test_settings_defaults(monkeypatch):
     assert s.msm_device_floor is None         # auto
     assert not s.require_consttime
     assert s.enable_r1cs
-    assert s.fused_verify_max_nm == 64
+    assert s.fused_verify_max_nm == 256   # measured decision, docs/kernels.md
     assert s.verify_chunk_pts == 8192
 
 
