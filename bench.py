@@ -90,8 +90,10 @@ def main():
     n = 64
     # 8192 on TPU: the verifier pipelines 2048-proof fused sub-batches and
     # the prover interleaves 4096-proof halves, so both amortize their
-    # fixed host costs better than at 4096 (22.3k vs 19.5k verifs/s)
-    batch = 256 if cpu_fallback else 8192
+    # fixed host costs better than at 4096 (22.3k vs 19.5k verifs/s).
+    # CPU fallback: 1024 amortizes the all-C++ path's fixed costs best on
+    # this 1-core box (~10k verifs/s, benches/results.json).
+    batch = 1024 if cpu_fallback else 8192
     rng = Rng()
 
     # batch proving (TPU batch prover; secondary metric on stderr).  A
