@@ -130,6 +130,10 @@ def test_batch_prove_aggregated_segmented_path(rng):
         t_v = Transcript(labels[0])
         proofs[0].verify_multiple(bp, PC, t_v, vcs[0], n, rng=rng)
         assert tss[0].challenge_scalar(b"post") == t_v.challenge_scalar(b"post")
+        # ONE executable serves every round: the traced round counter keeps
+        # round_step_fused shape-uniform (N=16 -> 4 rounds, 3 step calls)
+        from bulletproofs_tpu.ops import prover_stages as PS
+        assert PS.round_step_fused._cache_size() == 1
     finally:
         fixed_msm._INTERPRET = old
 
