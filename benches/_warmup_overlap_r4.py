@@ -33,7 +33,7 @@ def main(mode):
     n, m, step = 64, 1, 2048
     lg = 6
     n_dyn_per = 4 + 2 * lg + m
-    nblk = 2 * lg + 9
+    nblk = lg + 8          # compact challenge block
     p_pad = step
 
     bv = BatchVerifier(BulletproofGens(64, 1), PedersenGens(), n=n, m=m)
