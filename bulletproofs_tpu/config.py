@@ -6,16 +6,19 @@ reads.  Each field is seeded from its BPTPU_* environment variable at
 import; code paths read `settings.<field>` at call time, so tests and
 embedders can also flip them directly before first use.
 
-| field                | env var                  | consumer |
-|----------------------|--------------------------|----------|
-| no_native            | BPTPU_NO_NATIVE          | core/_native.py (force pure-Python) |
-| compile_cache_dir    | BPTPU_COMPILE_CACHE      | ops/__init__.py (persistent XLA cache) |
-| msm_device_floor     | BPTPU_MSM_DEVICE_FLOOR   | ops/vec_msm.msm_host_auto crossover |
-| no_fold_pallas       | BPTPU_NO_FOLD_PALLAS     | ops/fold_pallas.usable |
-| fused_verify_chunk   | BPTPU_FUSED_VERIFY_CHUNK | parallel/batch_verify sub-batch size (0 = auto-tune) |
-| verify_chunk_pts     | BPTPU_VERIFY_CHUNK_PTS   | parallel/batch_verify chunked pipeline |
-| fused_verify_max_nm  | BPTPU_FUSED_VERIFY_MAX_NM| parallel/batch_verify Pallas-emit VMEM gate |
-| enable_r1cs          | BPTPU_ENABLE_R1CS        | proofs/r1cs (the `yoloproofs` feature flag) |
+| field                  | env var                   | consumer |
+|------------------------|---------------------------|----------|
+| no_native              | BPTPU_NO_NATIVE           | core/_native.py (force pure-Python) |
+| compile_cache_dir      | BPTPU_COMPILE_CACHE       | ops/__init__.py (persistent XLA cache) |
+| msm_device_floor       | BPTPU_MSM_DEVICE_FLOOR    | ops/vec_msm.msm_host_auto crossover |
+| linear_device_msm_floor| BPTPU_LINEAR_DEVICE_FLOOR | proofs/linear.batch_verify device route |
+| r1cs_device_msm_floor  | BPTPU_R1CS_DEVICE_FLOOR   | proofs/r1cs/verifier device mega-MSM |
+| no_fold_pallas         | BPTPU_NO_FOLD_PALLAS      | ops/fold_pallas.usable |
+| fused_verify_chunk     | BPTPU_FUSED_VERIFY_CHUNK  | parallel/batch_verify sub-batch size (0 = default) |
+| verify_chunk_pts       | BPTPU_VERIFY_CHUNK_PTS    | parallel/batch_verify chunked pipeline |
+| fused_verify_max_nm    | BPTPU_FUSED_VERIFY_MAX_NM | parallel/batch_verify Pallas-emit VMEM gate |
+| require_consttime      | BPTPU_REQUIRE_CONSTTIME   | vartime_witness_fallback (hard gate) |
+| enable_r1cs            | BPTPU_ENABLE_R1CS         | proofs/r1cs (the `yoloproofs` feature flag) |
 """
 
 from __future__ import annotations
