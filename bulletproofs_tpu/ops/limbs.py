@@ -23,14 +23,21 @@ LIMB_MASK = (1 << LIMB_BITS) - 1
 _WEIGHTS = (1 << np.arange(LIMB_BITS, dtype=np.int64)).astype(np.int64)
 
 
+# limb k covers bits [13k, 13k + 13): gather the 3 bytes that span it
+# (same static schedule as ops/vec_curve.device_limbs_from_bytes)
+_LIMB_BYTE = np.array([(LIMB_BITS * k) // 8 for k in range(NLIMBS)], np.intp)
+_LIMB_OFF = np.array([(LIMB_BITS * k) % 8 for k in range(NLIMBS)], np.int32)
+
+
 def bytes_to_limbs(data: np.ndarray) -> np.ndarray:
     """(N, 32) uint8 little-endian -> (N, 20) int32 limbs (low 255..260 bits)."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    bits = np.unpackbits(data, axis=1, bitorder="little")  # (N, 256)
-    bits = np.concatenate([bits, np.zeros((n, NLIMBS * LIMB_BITS - 256), np.uint8)], axis=1)
-    limbs = bits.reshape(n, NLIMBS, LIMB_BITS).astype(np.int64) @ _WEIGHTS
-    return limbs.astype(np.int32)
+    b = np.zeros((n, 34), np.int32)
+    b[:, :32] = data
+    val = ((b[:, _LIMB_BYTE] | (b[:, _LIMB_BYTE + 1] << 8)
+            | (b[:, _LIMB_BYTE + 2] << 16)) >> _LIMB_OFF)
+    return val & LIMB_MASK
 
 
 def ints_to_limbs(values: Sequence[int]) -> np.ndarray:
