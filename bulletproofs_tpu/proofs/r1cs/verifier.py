@@ -30,8 +30,9 @@ _NATIVE_MIN_N = 1024
 # points, reference verifier.rs:456-491) through the device Pippenger
 # kernel from settings.r1cs_device_msm_floor up: the static [G | H]
 # generator tensor is cached device-resident, so the per-verify upload is
-# just the scalar stream (33 B/point) -- far below the host C++ MSM's time
-# at 2^16+
+# the scalar stream (32 B/point) plus the COMPRESSED dynamic points
+# (32 B each, batch-decompressed on device) -- far below the host C++
+# MSM's time at 2^16+
 
 
 def _use_device_msm(padded_n: int) -> bool:
@@ -55,31 +56,57 @@ def _device_gh_lanes(bp_gens: BulletproofGens, gens, padded_n: int):
     return t
 
 
-def _device_msm_is_identity(bp_gens, gens, padded_n: int, head_pts,
-                            tail_pts, sc_blob: bytes) -> bool:
-    """One device mega-MSM over [head_pts | G | H | tail_pts] with the
-    packed scalar blob (same order); returns the identity check."""
+def _device_msm_is_identity(bp_gens, gens, padded_n: int,
+                            head_cbytes, head_sc: bytes, static_pts,
+                            bb_sc: bytes, gh_sc: bytes,
+                            tail_cbytes, tail_sc: bytes) -> bool:
+    """One device mega-MSM over [head_dyn | B | B~ | G | H | tail_dyn].
+
+    The dynamic points are uploaded COMPRESSED (32 B/point, 10x fewer
+    bytes than limb lanes) and batch-decompressed on device; the host
+    never decompresses them at all.  Padding rows are all-zero =
+    the canonical identity encoding (valid, scalar 0).  Returns
+    (every dynamic point decompresses) AND (the MSM is the identity)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from ...ops import vec_curve as VC
     from ...ops import msm_pallas
 
+    def _dyn(cbytes):
+        nd = len(cbytes)
+        padded = -(-nd // 256) * 256
+        raw = np.zeros((padded, 32), np.uint8)
+        raw[:nd] = np.frombuffer(b"".join(cbytes), np.uint8).reshape(nd, 32)
+        return VC.decompress_device(jnp.asarray(raw))
+
+    valid_h, head = _dyn(head_cbytes)
+    nh, ph = len(head_cbytes), head.shape[-1]
     gh = _device_gh_lanes(bp_gens, gens, padded_n)
-    parts = [jnp.asarray(VC.points_to_lanes(head_pts)), gh]
-    if tail_pts:
-        parts.append(jnp.asarray(VC.points_to_lanes(tail_pts)))
+    parts = [head, jnp.asarray(VC.points_to_lanes(static_pts)), gh]
+    all_valid = jnp.all(valid_h)
+    nt = len(tail_cbytes)
+    if nt:
+        valid_t, tail = _dyn(tail_cbytes)
+        parts.append(tail)
+        all_valid = all_valid & jnp.all(valid_t)
     pts = jnp.concatenate(parts, axis=-1)
     total = pts.shape[-1]
+    mid = ph + len(static_pts) + 2 * padded_n
     sb = np.zeros((total, 33), np.uint8)
-    sb[:, :32] = np.frombuffer(sc_blob, np.uint8).reshape(total, 32)
+    sb[:nh, :32] = np.frombuffer(head_sc, np.uint8).reshape(nh, 32)
+    sb[ph:mid, :32] = np.frombuffer(bb_sc + gh_sc, np.uint8).reshape(-1, 32)
+    if nt:
+        sb[mid:mid + nt, :32] = np.frombuffer(
+            tail_sc, np.uint8).reshape(nt, 32)
     from ...ops.vec_msm import on_tpu
     if on_tpu():
         _, flag = msm_pallas.msm_lanes_flag(pts, sb)
     else:       # CPU tests of this path (Pallas does not lower on CPU)
         from ...ops import vec_msm
         flag = VC._is_identity_jit(vec_msm.msm_lanes(pts, sb))
-    return bool(np.asarray(jax.device_get(flag)).reshape(-1)[0])
+    ok, av = jax.device_get((flag, all_valid))
+    return bool(av) and bool(np.asarray(ok).reshape(-1)[0])
 
 
 class PackedScalarVec:
@@ -220,30 +247,39 @@ class Verifier(RandomizableConstraintSystem):
         (dyn_scalars, dyn_compressed, b_scalar, bb_scalar, g_scalars,
          h_scalars, padded_n) = self.verification_scalars(proof, bp_gens, rng)
         gens = bp_gens.share(0)
+        k = len(dyn_compressed) - 2 * len(proof.ipp_proof.L_vec)
+
+        from ...core.ristretto import _NATIVE, pack_points
+        if (isinstance(g_scalars, PackedScalarVec) and _NATIVE is not None
+                and not msm_injected and _use_device_msm(padded_n)):
+            # device mega-MSM (cached device-resident G/H): the per-verify
+            # upload is the scalar stream + the COMPRESSED dyn points,
+            # decompressed and validity-checked on device -- the host
+            # never touches the point coordinates
+            if not _device_msm_is_identity(
+                    bp_gens, gens, padded_n,
+                    dyn_compressed[:k],
+                    b"".join(s.to_bytes() for s in dyn_scalars[:k]),
+                    [pc_gens.B, pc_gens.B_blinding],
+                    b_scalar.to_bytes() + bb_scalar.to_bytes(),
+                    g_scalars.raw + h_scalars.raw,
+                    dyn_compressed[k:],
+                    b"".join(s.to_bytes() for s in dyn_scalars[k:])):
+                raise R1CSError(R1CSError.VERIFICATION)
+            return
+
         dyn = [RistrettoPoint.decompress(p) for p in dyn_compressed]
         if any(p is None for p in dyn):
             raise R1CSError(R1CSError.VERIFICATION)
-        k = len(dyn) - 2 * len(proof.ipp_proof.L_vec)
 
-        from ...core.ristretto import _NATIVE, pack_points
         if (isinstance(g_scalars, PackedScalarVec) and _NATIVE is not None
                 and not msm_injected):
             # byte-path mega-MSM: dyn points packed fresh (a handful), the
             # static [G | H] generators cached on the generator object
-            # (packed bytes for the host MSM, a lane tensor for the device)
             sc_blob = (b"".join(s.to_bytes() for s in dyn_scalars[:k])
                        + b_scalar.to_bytes() + bb_scalar.to_bytes()
                        + g_scalars.raw + h_scalars.raw
                        + b"".join(s.to_bytes() for s in dyn_scalars[k:]))
-            if _use_device_msm(padded_n):
-                # device mega-MSM (cached device-resident G/H); the scalar
-                # stream is the only per-verify upload
-                if not _device_msm_is_identity(
-                        bp_gens, gens, padded_n,
-                        dyn[:k] + [pc_gens.B, pc_gens.B_blinding], dyn[k:],
-                        sc_blob):
-                    raise R1CSError(R1CSError.VERIFICATION)
-                return
             cache = getattr(bp_gens, "_ipp_basis_cache", None)
             if cache is None:
                 cache = bp_gens._ipp_basis_cache = {}
@@ -515,9 +551,6 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
             for i, s in enumerate(hs):
                 acc_h[i] = acc_h[i] + wgt * s
 
-    dyn = [RistrettoPoint.decompress(p) for p in all_dyn_p]
-    if any(p is None for p in dyn):
-        raise R1CSError(R1CSError.VERIFICATION)
     gens = bp_gens.share(0)
     if acc_g_buf is not None:
         if acc_g:   # python-path proofs accumulated first at smaller pn
@@ -528,15 +561,21 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
             _NV.sc_vec_axpy(len(acc_h), acc_h_buf, Scalar.one().to_bytes(),
                             blob)
         from ...core.ristretto import _NATIVE, pack_points
-        sc_blob = (b"".join(s.to_bytes() for s in all_dyn_s)
-                   + acc_b.to_bytes() + acc_bb.to_bytes()
-                   + acc_g_buf.raw + acc_h_buf.raw)
         if _use_device_msm(acc_n):
             if not _device_msm_is_identity(
                     bp_gens, gens, acc_n,
-                    dyn + [pc_gens.B, pc_gens.B_blinding], [], sc_blob):
+                    all_dyn_p, b"".join(s.to_bytes() for s in all_dyn_s),
+                    [pc_gens.B, pc_gens.B_blinding],
+                    acc_b.to_bytes() + acc_bb.to_bytes(),
+                    acc_g_buf.raw + acc_h_buf.raw, [], b""):
                 raise R1CSError(R1CSError.VERIFICATION)
             return
+        dyn = [RistrettoPoint.decompress(p) for p in all_dyn_p]
+        if any(p is None for p in dyn):
+            raise R1CSError(R1CSError.VERIFICATION)
+        sc_blob = (b"".join(s.to_bytes() for s in all_dyn_s)
+                   + acc_b.to_bytes() + acc_bb.to_bytes()
+                   + acc_g_buf.raw + acc_h_buf.raw)
         cache = getattr(bp_gens, "_ipp_basis_cache", None)
         if cache is None:
             cache = bp_gens._ipp_basis_cache = {}
@@ -553,6 +592,9 @@ def batch_verify(items, pc_gens: PedersenGens, bp_gens: BulletproofGens,
             raise R1CSError(R1CSError.VERIFICATION)
         return
 
+    dyn = [RistrettoPoint.decompress(p) for p in all_dyn_p]
+    if any(p is None for p in dyn):
+        raise R1CSError(R1CSError.VERIFICATION)
     scalars = all_dyn_s + [acc_b, acc_bb] + acc_g + acc_h
     points = (dyn + [pc_gens.B, pc_gens.B_blinding]
               + gens.G(len(acc_g)) + gens.H(len(acc_h)))
