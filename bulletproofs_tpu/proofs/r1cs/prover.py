@@ -30,6 +30,9 @@ from .constraint_system import (ConstraintSystem, RandomizableConstraintSystem,
 from .linear_combination import LinearCombination, Variable, to_lc
 from .proof import R1CSProof, _IDENTITY
 
+# shared immutable -1 coefficient for the multiplier constraints
+_NEG_ONE = Scalar(-1)
+
 
 # circuits at or above this multiplier count route their O(n) scalar
 # vector math through the native backend (tests lower it to cross-check)
@@ -74,8 +77,12 @@ class Prover(RandomizableConstraintSystem):
         self.a_R.append(r)
         self.a_O.append(o)
 
-        self.constrain(left + LinearCombination([(l_var, -Scalar.one())]))
-        self.constrain(right + LinearCombination([(r_var, -Scalar.one())]))
+        # left + (-1)*l_var == 0, appended directly (the generic LC
+        # __add__/constrain pair re-copies terms on every call)
+        self.constraints.append(
+            LinearCombination(left.terms + [(l_var, _NEG_ONE)]))
+        self.constraints.append(
+            LinearCombination(right.terms + [(r_var, _NEG_ONE)]))
         return l_var, r_var, o_var
 
     def allocate(self, assignment: Optional[Scalar]) -> Variable:
@@ -143,27 +150,31 @@ class Prover(RandomizableConstraintSystem):
     def flattened_constraints(self, z: Scalar):
         """Fold Q constraints into (wL, wR, wO, wV) with powers of z
         (reference prover.rs:301-338)."""
+        from ...core.scalar import L as _L
         n = len(self.a_L)
         m = len(self.v)
-        wL = [Scalar.zero()] * n
-        wR = [Scalar.zero()] * n
-        wO = [Scalar.zero()] * n
-        wV = [Scalar.zero()] * m
+        # int accumulators with lazy reduction (see the verifier's twin)
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
 
-        exp_z = z
+        zv = z.v
+        exp_z = zv
         for lc in self.constraints:
             for var, coeff in lc.terms:
                 if var.is_multiplier_left():
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += exp_z * coeff.v
                 elif var.is_multiplier_right():
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += exp_z * coeff.v
                 elif var.is_multiplier_output():
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += exp_z * coeff.v
                 elif var.is_committed():
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= exp_z * coeff.v
                 # One(): constant terms don't affect the prover
-            exp_z = exp_z * z
-        return wL, wR, wO, wV
+            exp_z = exp_z * zv % _L
+        return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
+                [Scalar(x) for x in wO], [Scalar(x) for x in wV])
 
     def _create_randomized_constraints(self) -> None:
         self.pending_multiplier = None

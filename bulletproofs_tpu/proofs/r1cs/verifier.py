@@ -22,6 +22,9 @@ from .constraint_system import (RandomizableConstraintSystem,
 from .linear_combination import LinearCombination, Variable, to_lc
 from .proof import R1CSProof
 
+# shared immutable -1 coefficient for the multiplier constraints
+_NEG_ONE = Scalar(-1)
+
 
 # see prover._NATIVE_MIN_N
 _NATIVE_MIN_N = 1024
@@ -163,8 +166,12 @@ class Verifier(RandomizableConstraintSystem):
         l_var = Variable.multiplier_left(var)
         r_var = Variable.multiplier_right(var)
         o_var = Variable.multiplier_output(var)
-        self.constrain(left + LinearCombination([(l_var, -Scalar.one())]))
-        self.constrain(right + LinearCombination([(r_var, -Scalar.one())]))
+        # left + (-1)*l_var == 0, appended directly (the generic LC
+        # __add__/constrain pair re-copies terms on every call)
+        self.constraints.append(
+            LinearCombination(left.terms + [(l_var, _NEG_ONE)]))
+        self.constraints.append(
+            LinearCombination(right.terms + [(r_var, _NEG_ONE)]))
         return l_var, r_var, o_var
 
     def allocate(self, assignment=None) -> Variable:
@@ -201,30 +208,37 @@ class Verifier(RandomizableConstraintSystem):
 
     def flattened_constraints(self, z: Scalar):
         """Like the prover's, plus the constant term wc
-        (reference verifier.rs:260-298)."""
+        (reference verifier.rs:260-298).  The z-weighted fold is the hot
+        loop of large-circuit verification, so it accumulates raw Python
+        ints (lazy reduction: one mod per slot at the end) instead of
+        allocating a Scalar per term."""
+        from ...core.scalar import L as _L
         n = self.num_vars
         m = len(self.V)
-        wL = [Scalar.zero()] * n
-        wR = [Scalar.zero()] * n
-        wO = [Scalar.zero()] * n
-        wV = [Scalar.zero()] * m
-        wc = Scalar.zero()
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        wc = 0
 
-        exp_z = z
+        zv = z.v
+        exp_z = zv
         for lc in self.constraints:
             for var, coeff in lc.terms:
                 if var.is_multiplier_left():
-                    wL[var.index] = wL[var.index] + exp_z * coeff
+                    wL[var.index] += exp_z * coeff.v
                 elif var.is_multiplier_right():
-                    wR[var.index] = wR[var.index] + exp_z * coeff
+                    wR[var.index] += exp_z * coeff.v
                 elif var.is_multiplier_output():
-                    wO[var.index] = wO[var.index] + exp_z * coeff
+                    wO[var.index] += exp_z * coeff.v
                 elif var.is_committed():
-                    wV[var.index] = wV[var.index] - exp_z * coeff
+                    wV[var.index] -= exp_z * coeff.v
                 else:
-                    wc = wc - exp_z * coeff
-            exp_z = exp_z * z
-        return wL, wR, wO, wV, wc
+                    wc -= exp_z * coeff.v
+            exp_z = exp_z * zv % _L
+        return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
+                [Scalar(x) for x in wO], [Scalar(x) for x in wV],
+                Scalar(wc))
 
     def _create_randomized_constraints(self) -> None:
         self.pending_multiplier = None
