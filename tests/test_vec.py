@@ -133,3 +133,28 @@ def test_msm_zero_scalars_and_identity_points():
     got = vec_msm.msm(scalars, pts)
     exp = multiscalar_mul(scalars, pts)
     assert got == exp
+
+
+def test_bytes_to_limbs_gather_schedule():
+    """The 3-byte gather formulation of bytes_to_limbs must equal the
+    direct bit-matrix definition (limb k = bits [13k, 13k+13) of the
+    little-endian input) for random and boundary encodings."""
+    from bulletproofs_tpu.ops import limbs as LB
+
+    rng = random.Random(1337)
+    rows = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(64)]
+    rows += [b"\x00" * 32, b"\xff" * 32,
+             (1).to_bytes(32, "little"), (2**255 - 19).to_bytes(32, "little")]
+    data = np.frombuffer(b"".join(rows), np.uint8).reshape(len(rows), 32)
+
+    bits = np.unpackbits(data, axis=1, bitorder="little")
+    bits = np.concatenate(
+        [bits, np.zeros((len(rows), LB.NLIMBS * LB.LIMB_BITS - 256),
+                        np.uint8)], axis=1)
+    weights = (1 << np.arange(LB.LIMB_BITS, dtype=np.int64))
+    want = (bits.reshape(len(rows), LB.NLIMBS, LB.LIMB_BITS).astype(np.int64)
+            @ weights).astype(np.int32)
+
+    got = LB.bytes_to_limbs(data)
+    assert got.dtype == np.int32
+    assert np.array_equal(got, want)
