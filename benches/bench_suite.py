@@ -239,8 +239,9 @@ def bench_r1cs_scale():
 
     t0 = time.time()
     p = Prover(pc, Transcript(b"ShuffleScaleBench"))
-    in_pairs = [p.commit(v, Scalar.random(rng)) for v in inputs]
-    out_pairs = [p.commit(v, Scalar.random(rng)) for v in outputs]
+    blinds = [Scalar.random(rng) for _ in range(2 * k)]
+    pairs = p.commit_many(inputs + outputs, blinds)
+    in_pairs, out_pairs = pairs[:k], pairs[k:]
     shuffle_gadget(p, [v for _, v in in_pairs], [v for _, v in out_pairs])
     proof = p.prove(bp, rng=rng)
     record("k-shuffle proof creation", f"k=2^15 (incl. gadget)",

@@ -39,6 +39,31 @@ class PedersenGens:
         # reference uses MultiscalarMul here, src/generators.rs:39-41)
         return multiscalar_mul_ct([value, blinding], [self.B, self.B_blinding])
 
+    def commit_many(self, values, blindings):
+        """Batched `commit` + compress: q consttime 2-term MSMs over the
+        shared [B, B~] basis in ONE native call (large-circuit provers
+        commit tens of thousands of values; the per-call ctypes round
+        trip dominates the loop form).  Returns a list of q compressed
+        32-byte encodings.  Falls back to the per-commit path without
+        the native backend."""
+        from .core.ristretto import _NATIVE, pack_points
+        q = len(values)
+        if _NATIVE is None or q < 16:
+            return [self.commit(v, b).compress()
+                    for v, b in zip(values, blindings)]
+        import ctypes as _ct
+        sc = bytearray(64 * q)
+        for i, (v, b) in enumerate(zip(values, blindings)):
+            sc[64 * i: 64 * i + 32] = v.to_bytes()
+            sc[64 * i + 32: 64 * i + 64] = b.to_bytes()
+        basis = pack_points([self.B, self.B_blinding])
+        out = _ct.create_string_buffer(128 * q)
+        _NATIVE.rist_msm_rows_ct(q, 2, bytes(sc), basis, out)
+        comp = _ct.create_string_buffer(32 * q)
+        _NATIVE.rist_batch_compress(q, out, comp)
+        raw = comp.raw
+        return [raw[32 * i: 32 * i + 32] for i in range(q)]
+
 
 class GeneratorsChain:
     """Deterministic arbitrary-length generator stream

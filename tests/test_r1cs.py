@@ -364,3 +364,30 @@ def test_native_path_rejects_lr_length_mismatch(rng):
             v.verify(proof, PC, BP, rng=rng)
     finally:
         verifier_mod._NATIVE_MIN_N = old
+
+
+def test_commit_many_matches_commit_loop(rng):
+    """Prover.commit_many (one native consttime MSM pass) is bit-identical
+    to the commit() loop -- same compressed V bytes, same transcript
+    state -- so proofs built with either commitment form cross-verify."""
+    k = 12
+    rr = random.Random(99)
+    ins = [Scalar(rr.randrange(L)) for _ in range(k)]
+    outs = list(ins)
+    rr.shuffle(outs)
+    vals = ins + outs
+    blinds = [Scalar.random(rng) for _ in range(2 * k)]
+
+    p1 = Prover(PC, Transcript(b"cm"))
+    pairs1 = [p1.commit(v, b) for v, b in zip(vals, blinds)]
+    p2 = Prover(PC, Transcript(b"cm"))
+    pairs2 = p2.commit_many(vals, blinds)
+    assert [V for V, _ in pairs1] == [V for V, _ in pairs2]
+
+    shuffle_gadget(p2, [v for _, v in pairs2[:k]], [v for _, v in pairs2[k:]])
+    proof = p2.prove(BP, rng=rng)
+
+    v = Verifier(Transcript(b"cm"))
+    vars_ = v.commit_many([V for V, _ in pairs2])
+    shuffle_gadget(v, vars_[:k], vars_[k:])
+    v.verify(proof, PC, BP, rng=rng)
