@@ -14,6 +14,7 @@ embedders can also flip them directly before first use.
 | linear_device_msm_floor| BPTPU_LINEAR_DEVICE_FLOOR | proofs/linear.batch_verify device route |
 | r1cs_device_msm_floor  | BPTPU_R1CS_DEVICE_FLOOR   | proofs/r1cs/verifier device mega-MSM |
 | no_fold_pallas         | BPTPU_NO_FOLD_PALLAS      | ops/fold_pallas.usable |
+| sharded_canonical      | BPTPU_SHARDED_CANONICAL   | parallel/sharded_msm one-executable CPU-mesh shape |
 | fused_verify_chunk     | BPTPU_FUSED_VERIFY_CHUNK  | parallel/batch_verify sub-batch size (0 = default) |
 | verify_chunk_pts       | BPTPU_VERIFY_CHUNK_PTS    | parallel/batch_verify chunked pipeline |
 | fused_verify_max_nm    | BPTPU_FUSED_VERIFY_MAX_NM | parallel/batch_verify Pallas-emit VMEM gate |
@@ -76,6 +77,14 @@ class Settings:
     # disable the Pallas generator-fold kernel (IPP prover fallback path)
     no_fold_pallas: bool = field(
         default_factory=lambda: bool(os.environ.get("BPTPU_NO_FOLD_PALLAS")))
+
+    # CPU/virtual meshes: route every sharded MSM through ONE canonical
+    # executable shape (chunk + fold for larger inputs) instead of a fresh
+    # XLA-CPU compile per (groups, k_steps) pair.  "0" restores the
+    # per-size shapes (parallel/sharded_msm.py).
+    sharded_canonical: bool = field(
+        default_factory=lambda: os.environ.get(
+            "BPTPU_SHARDED_CANONICAL", "1") != "0")
 
     # --- batched verification -------------------------------------------------
     # fused-path sub-batch size (proofs per device dispatch); 0 = auto-tune
