@@ -102,6 +102,15 @@ def _load():
         lib.sc_vec_axpy.restype = None
         lib.r1cs_hg_factors.argtypes = [sz, sz] + [ctypes.c_char_p] * 4
         lib.r1cs_hg_factors.restype = None
+        try:
+            lib.linear_verify_replay_batch_c.argtypes = (
+                [ctypes.c_char_p, sz, ctypes.c_char_p, sz]
+                + [ctypes.c_char_p] * 5
+                + [ctypes.c_uint64, ctypes.c_uint64]
+                + [ctypes.c_char_p] * 3)
+            lib.linear_verify_replay_batch_c.restype = ctypes.c_int
+        except AttributeError:
+            pass   # older .so build: the linear fast path auto-disables
         del u8p
         return lib
     except (OSError, AttributeError):

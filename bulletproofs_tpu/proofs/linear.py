@@ -20,11 +20,13 @@ from ..transcript import Transcript
 from ..utils.util import inner_product
 
 
-def _device_linear_check(dyn_bytes, dyn_scalars, static_scalars,
-                         static_points) -> bool:
+def _device_linear_check(dyn_bytes, dyn_sc_blob: bytes,
+                         static_sc_blob: bytes, static_points) -> bool:
     """Fused device check for LinearProof.batch_verify: batch-decompress
     the compressed dynamic points, one device MSM over
-    [dyn | B, F, G..], return (all valid) AND (result == identity)."""
+    [dyn | B, F, G..], return (all valid) AND (result == identity).
+    Scalars arrive as packed 32-byte-little-endian blobs (the native
+    replay emits them in that form directly)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,11 +41,9 @@ def _device_linear_check(dyn_bytes, dyn_scalars, static_scalars,
     static = jnp.asarray(VC.points_to_lanes(static_points))
     pts = jnp.concatenate([dyn_pts, static], axis=-1)
     sb = np.zeros((padded + len(static_points), 33), np.uint8)
-    sb[:nd, :32] = np.frombuffer(
-        b"".join(s.to_bytes() for s in dyn_scalars), np.uint8).reshape(nd, 32)
-    sb[padded:, :32] = np.frombuffer(
-        b"".join(s.to_bytes() for s in static_scalars),
-        np.uint8).reshape(-1, 32)
+    sb[:nd, :32] = np.frombuffer(dyn_sc_blob, np.uint8).reshape(nd, 32)
+    sb[padded:, :32] = np.frombuffer(static_sc_blob,
+                                     np.uint8).reshape(-1, 32)
     if vec_msm.on_tpu():
         from ..ops import msm_pallas
         _, flag = msm_pallas.msm_lanes_flag(pts, sb)
@@ -285,6 +285,19 @@ class LinearProof:
                           and total >= settings.linear_device_msm_floor)
         else:
             use_device = bool(device) and not msm_injected
+
+        # native batched replay (uniform n): ONE C++ call runs every
+        # proof's transcript replay (8-lockstep Keccak), b-fold, challenge
+        # inversion (one shared Montgomery pass), subset products, and the
+        # G-scalar accumulation -- the per-proof Python loop below is the
+        # semantic oracle for it (reference linear_proof.rs:164-314)
+        from ..core.ristretto import _NATIVE as _NC
+        ns = {len(b_vec) for _, _, _, b_vec in items}
+        if (_NC is not None and not msm_injected and len(ns) == 1
+                and hasattr(_NC, "linear_verify_replay_batch_c")):
+            return LinearProof._batch_verify_native(items, G, F, B, rng,
+                                                    use_device)
+
         for proof, transcript, C, b_vec in items:
             n = len(b_vec)
             if len(G) < n:
@@ -333,14 +346,96 @@ class LinearProof:
                 dyn_points.extend([S, C_pt] + Ls + Rs)
 
         if use_device:
-            if not _device_linear_check(dyn_bytes, dyn_scalars,
-                                        [acc_b, acc_f] + acc_g,
-                                        [B, F] + list(G)):
+            if not _device_linear_check(
+                    dyn_bytes,
+                    b"".join(s.to_bytes() for s in dyn_scalars),
+                    b"".join(s.to_bytes()
+                             for s in [acc_b, acc_f] + acc_g),
+                    [B, F] + list(G)):
                 raise ProofError.verification()
             return
         result = msm(dyn_scalars + [acc_b, acc_f] + acc_g,
                      dyn_points + [B, F] + list(G))
         if not result.is_identity():
+            raise ProofError.verification()
+
+    @staticmethod
+    def _batch_verify_native(items, G, F, B, rng, use_device) -> None:
+        """C++-replay batch verification (uniform n): one
+        linear_verify_replay_batch_c call, then one mega-MSM -- native
+        Pippenger on host, or the fused device route (compressed dyn
+        upload + device decompress) when use_device."""
+        import ctypes as _ct
+        from ..core.ristretto import _NATIVE as _NC
+        from ..core.ristretto import pack_points
+
+        count = len(items)
+        n = len(items[0][3])
+        if n == 0 or n & (n - 1) or len(G) < n:
+            raise ProofError.invalid_generators_length()
+        lg = n.bit_length() - 1
+        plen = 32 * (2 * lg + 3)
+
+        pblobs = []
+        for proof, _, _, _ in items:
+            pb = proof.to_bytes()
+            if len(pb) != plen:
+                raise ProofError.verification()
+            pblobs.append(pb)
+        proofs_blob = b"".join(pblobs)
+        cs_blob = b"".join(bytes(C) for _, _, C, _ in items)
+        bs_blob = b"".join(b"".join(s.to_bytes() for s in bv)
+                           for _, _, _, bv in items)
+        g_comp = b"".join(p.compress() for p in G[:n])
+
+        strobe_size = len(items[0][1].strobe.buf.raw)
+        strobes = _ct.create_string_buffer(
+            b"".join(t.strobe.buf.raw for _, t, _, _ in items),
+            strobe_size * count)
+        w_wides = rng.randbytes(64 * count)
+        dyn_sz = 32 * (2 + 2 * lg)
+        dyn_sc = _ct.create_string_buffer(dyn_sz * count)
+        static_acc = _ct.create_string_buffer(32 * (2 + n))
+        rc = _NC.linear_verify_replay_batch_c(
+            strobes, _ct.c_size_t(strobe_size),
+            proofs_blob, _ct.c_size_t(plen), cs_blob, bs_blob,
+            g_comp, F.compress(), B.compress(),
+            _ct.c_uint64(n), _ct.c_uint64(count), w_wides,
+            dyn_sc, static_acc)
+        if rc != 0:
+            raise ProofError.verification()
+        sraw = strobes.raw
+        for i, (_, t, _, _) in enumerate(items):
+            t.strobe.buf.raw = sraw[i * strobe_size: (i + 1) * strobe_size]
+
+        # dyn points in scalar order: per proof [S, C, L.., R..]
+        dyn_bytes = []
+        for (proof, _, C, _), pb in zip(items, pblobs):
+            dyn_bytes.append(bytes(proof.S))
+            dyn_bytes.append(bytes(C))
+            dyn_bytes.extend(proof.L_vec)
+            dyn_bytes.extend(proof.R_vec)
+        n_dyn = count * (2 + 2 * lg)
+
+        if use_device:
+            if not _device_linear_check(dyn_bytes, dyn_sc.raw,
+                                        static_acc.raw, [B, F] + G[:n]):
+                raise ProofError.verification()
+            return
+
+        dyn_blob = b"".join(dyn_bytes)
+        dyn_ext = _ct.create_string_buffer(128 * n_dyn)
+        ok = _ct.create_string_buffer(n_dyn)
+        good = _NC.rist_batch_decompress(
+            _ct.c_size_t(n_dyn), dyn_blob, dyn_ext, ok)
+        if good != n_dyn:
+            raise ProofError.verification()
+        static_ext = pack_points([B, F] + G[:n])
+        out = _ct.create_string_buffer(128)
+        _NC.rist_msm(_ct.c_size_t(n_dyn + 2 + n),
+                     dyn_sc.raw + static_acc.raw,
+                     dyn_ext.raw + static_ext, out)
+        if not _NC.rist_is_identity(out):
             raise ProofError.verification()
 
     # -- serialization (reference linear_proof.rs:316-407) ------------------
