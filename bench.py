@@ -234,6 +234,100 @@ def main():
     except Exception as e:
         log(f"MSM bench skipped: {e}")
 
+    # -- driver-captured extras (VERDICT r4 item 3): the aggregated m=16
+    # config and the R1CS 2^15 shuffle, in the same capture context as the
+    # headline so tunnel-sensitivity claims are checkable from BENCH_r*.
+    if os.environ.get("BPTPU_BENCH_SKIP_EXTRAS") != "1":
+        try:
+            m16 = 16
+            agg_batch = 16 if cpu_fallback else 128
+            bp16 = BulletproofGens(n, m16)
+            from bulletproofs_tpu.proofs.batch_prover import BatchProver as _BP
+            aprover = _BP(bp16, pc_gens, n, m=m16)
+            avals = [[int.from_bytes(secrets.token_bytes(8), "little")
+                      for _ in range(m16)] for _ in range(agg_batch)]
+            ablinds = [[Scalar.random(rng) for _ in range(m16)]
+                       for _ in range(agg_batch)]
+            alabels = [b"agg bench %d" % i for i in range(agg_batch)]
+            t0 = time.time()
+            aproofs, avcs = aprover.prove_batch(
+                avals, ablinds, [Transcript(l) for l in alabels], rng=rng)
+            log(f"warm-up aggregated prove (m=16, {agg_batch} proofs incl. "
+                f"compile): {time.time()-t0:.1f}s")
+            adts = []
+            for _ in range(3):
+                t0 = time.time()
+                aproofs, avcs = aprover.prove_batch(
+                    avals, ablinds, [Transcript(l) for l in alabels], rng=rng)
+                adts.append(time.time() - t0)
+            adt = min(adts)
+            log(f"aggregated prove m=16 batch={agg_batch}: best "
+                f"{adt*1000:.0f} ms -> {adt/agg_batch*1000:.1f} ms/proof "
+                f"({adt/agg_batch/m16*1e6:.0f} us/value)")
+            abv = BatchVerifier(bp16, pc_gens, n=n, m=m16)
+            t0 = time.time()
+            abv.verify_batch(aproofs, avcs,
+                             [Transcript(l) for l in alabels], rng=rng)
+            log(f"warm-up aggregated verify (m=16 incl. compile): "
+                f"{time.time()-t0:.1f}s")
+            vdts = []
+            for _ in range(3):
+                t0 = time.time()
+                abv.verify_batch(aproofs, avcs,
+                                 [Transcript(l) for l in alabels], rng=rng)
+                vdts.append(time.time() - t0)
+            vdt = min(vdts)
+            log(f"aggregated verify m=16 batch={agg_batch}: best "
+                f"{vdt*1000:.0f} ms -> {vdt/agg_batch*1000:.1f} ms/proof")
+        except Exception as e:
+            log(f"aggregated m=16 bench FAILED: {type(e).__name__}: {e}")
+        try:
+            import random
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests"))
+            from test_r1cs import shuffle_gadget
+            from bulletproofs_tpu.proofs.r1cs import Prover, Verifier
+            from bulletproofs_tpu.core.scalar import L as _ELL
+            k = 1 << 15
+            bp_r = BulletproofGens(1 << 16, 1)
+            rr = random.Random(k)
+            inputs = [Scalar(rr.randrange(_ELL)) for _ in range(k)]
+            outputs = list(inputs)
+            rr.shuffle(outputs)
+            t0 = time.time()
+            p = Prover(pc_gens, Transcript(b"ShuffleScaleBench"))
+            pairs = p.commit_many(inputs + outputs,
+                                  [Scalar.random(rng) for _ in range(2 * k)])
+            in_pairs, out_pairs = pairs[:k], pairs[k:]
+            shuffle_gadget(p, [v for _, v in in_pairs],
+                           [v for _, v in out_pairs])
+            proof_r = p.prove(bp_r, rng=rng)
+            log(f"R1CS k=2^15 shuffle prove (incl. gadget): "
+                f"{time.time()-t0:.1f}s")
+            ins = [c for c, _ in in_pairs]
+            outs = [c for c, _ in out_pairs]
+
+            def r1cs_verify():
+                v = Verifier(Transcript(b"ShuffleScaleBench"))
+                iv = [v.commit(c) for c in ins]
+                ov = [v.commit(c) for c in outs]
+                shuffle_gadget(v, iv, ov)
+                v.verify(proof_r, pc_gens, bp_r, rng=rng)
+
+            t0 = time.time()
+            r1cs_verify()
+            log(f"R1CS k=2^15 verify cold (incl. compile): "
+                f"{time.time()-t0:.1f}s")
+            rdts = []
+            for _ in range(3):
+                t0 = time.time()
+                r1cs_verify()
+                rdts.append(time.time() - t0)
+            log(f"R1CS k=2^15 verify warm: best {min(rdts):.2f}s of "
+                f"{[round(d, 2) for d in sorted(rdts)]}")
+        except Exception as e:
+            log(f"R1CS 2^15 bench FAILED: {type(e).__name__}: {e}")
+
     baseline = 1e6 / 1040  # reference verifications/s
     metric = "batched 64-bit rangeproof verification throughput"
     if cpu_fallback:

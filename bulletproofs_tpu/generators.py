@@ -47,6 +47,11 @@ class PedersenGens:
         32-byte encodings.  Falls back to the per-commit path without
         the native backend."""
         from .core.ristretto import _NATIVE, pack_points
+        if len(values) != len(blindings):
+            raise ValueError(
+                f"commit_many: {len(values)} values vs {len(blindings)} "
+                "blindings (a silent zip-truncation would emit identity "
+                "commitments for the tail)")
         q = len(values)
         if _NATIVE is None or q < 16:
             return [self.commit(v, b).compress()

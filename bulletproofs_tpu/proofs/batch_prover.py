@@ -42,6 +42,25 @@ from .ipp import InnerProductProof
 from .rangeproof import RangeProof
 
 
+# Exception types under which the fused device-transcript path may degrade
+# to the per-stage pipeline: XLA compile/runtime failures and tunnel
+# transport errors only.  Anything else is a logic bug and must propagate.
+import jax.errors as _jax_errors
+
+_FUSED_FALLBACK_ERRORS = (_jax_errors.JaxRuntimeError, OSError)
+_fused_fallback_logged = False
+
+
+def _log_fused_fallback(e):
+    global _fused_fallback_logged
+    if not _fused_fallback_logged:
+        _fused_fallback_logged = True
+        import logging
+        logging.getLogger("bulletproofs_tpu").warning(
+            "fused batch prover fell back to the per-stage pipeline: %r "
+            "(logged once; subsequent fallbacks are silent)", e)
+
+
 def _load_native():
     import os
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -159,12 +178,19 @@ class BatchProver:
                 try:
                     return self._prove_batch_device_fused(
                         values, blindings, transcripts, rng)
-                except Exception:
-                    if self.force_device:
-                        raise
+                except Exception as e:
                     for t, snap in zip(transcripts, snaps):
                         t.strobe.buf.raw = snap
-                    # e.g. remote-compile failure: fall back per-stage
+                    # ONLY compile/dispatch failures degrade to the
+                    # per-stage pipeline (e.g. the remote Mosaic compiler
+                    # rejecting a program); logic bugs (ValueError,
+                    # AssertionError, ...) must surface -- with the
+                    # transcripts restored -- not silently manifest as a
+                    # throughput mystery.
+                    if self.force_device or \
+                            not isinstance(e, _FUSED_FALLBACK_ERRORS):
+                        raise
+                    _log_fused_fallback(e)
             return self._prove_batch_device(values, blindings, transcripts, rng)
         if self.m > 1:
             # no C++ aggregated stage engine: use the protocol path (native

@@ -174,3 +174,60 @@ def test_fused_path_transcript_advances(rng):
         t_v = Transcript(label)
         proof.verify_single(BP, PC, t_v, vc, n)
         assert t.challenge_scalar(b"post") == t_v.challenge_scalar(b"post")
+
+
+def test_fused_fallback_policy(rng, monkeypatch):
+    """Fused-path failure policy (VERDICT r4 item 8): a compile/dispatch
+    error (JaxRuntimeError) degrades to the per-stage pipeline with the
+    transcripts restored; any OTHER exception type propagates -- also with
+    the transcripts restored -- instead of silently falling back."""
+    import jax.errors
+    from bulletproofs_tpu.ops import fixed_msm
+    from bulletproofs_tpu.proofs import batch_prover as bpmod
+
+    n = 8
+    prover = BatchProver(BP, PC, n)
+    monkeypatch.setattr(fixed_msm, "_on_tpu", lambda: True)
+    assert not prover.force_device and prover.fused
+
+    def boom_dispatch(values, blindings, transcripts, rng):
+        transcripts[0].append_message(b"corrupt", b"mid-half write")
+        raise jax.errors.JaxRuntimeError("mosaic rejected the program")
+
+    def boom_logic(values, blindings, transcripts, rng):
+        transcripts[0].append_message(b"corrupt", b"mid-half write")
+        raise ValueError("a logic bug, not a compile failure")
+
+    sentinel = (["proofs"], ["vcs"])
+    calls = []
+
+    def fake_per_stage(values, blindings, transcripts, rng):
+        calls.append(len(transcripts))
+        return sentinel
+
+    monkeypatch.setattr(prover, "_prove_batch_device", fake_per_stage)
+    blinds = [Scalar.random(rng)]
+
+    # dispatch error -> fallback runs, transcript state restored first
+    t = Transcript(b"fallback")
+    snap = t.strobe.buf.raw
+    monkeypatch.setattr(prover, "_prove_batch_device_fused", boom_dispatch)
+    assert prover.prove_batch([5], blinds, [t], rng=rng) is sentinel
+    assert calls == [1]
+    assert t.strobe.buf.raw == snap
+
+    # logic error -> propagates (no silent degradation), transcript restored
+    t = Transcript(b"fallback")
+    snap = t.strobe.buf.raw
+    monkeypatch.setattr(prover, "_prove_batch_device_fused", boom_logic)
+    with pytest.raises(ValueError, match="logic bug"):
+        prover.prove_batch([5], blinds, [t], rng=rng)
+    assert calls == [1]          # per-stage pipeline NOT invoked again
+    assert t.strobe.buf.raw == snap
+
+    # force_device re-raises even dispatch errors
+    prover.force_device = True
+    monkeypatch.setattr(prover, "_prove_batch_device_fused", boom_dispatch)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        prover.prove_batch([5], blinds, [Transcript(b"fd")], rng=rng)
+    assert calls == [1]
