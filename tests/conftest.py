@@ -27,6 +27,26 @@ import random
 import pytest
 
 
+# Modules in the `-m quick` subset (VERDICT r4 item 9): protocol logic,
+# transcripts, codecs, native cross-checks, and small-shape prove/verify --
+# everything that runs in a few minutes WITHOUT the XLA-heavy device
+# sweeps.  `pytest -m quick` (~3 min warm) is the iteration loop;
+# tests/run_suite.py remains the full gate.
+_QUICK_MODULES = {
+    "test_core", "test_transcript", "test_generators", "test_ipp",
+    "test_linear", "test_rangeproof", "test_mpc_wire", "test_fuzz_decode",
+    "test_native_curve", "test_sc_vec", "test_zeroize", "test_config",
+    "test_batch_prover", "test_readme_example", "test_r1cs",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _QUICK_MODULES
+                and "slow" not in item.keywords):
+            item.add_marker(pytest.mark.quick)
+
+
 def pytest_configure(config):
     # Pin JAX to the CPU backend for tests: the axon TPU tunnel has ~0.5 s
     # per-op eager latency, and tests must not depend on TPU availability.
