@@ -309,8 +309,8 @@ def main():
 
             def r1cs_verify():
                 v = Verifier(Transcript(b"ShuffleScaleBench"))
-                iv = [v.commit(c) for c in ins]
-                ov = [v.commit(c) for c in outs]
+                iv = v.commit_many(ins)
+                ov = v.commit_many(outs)
                 shuffle_gadget(v, iv, ov)
                 v.verify(proof_r, pc_gens, bp_r, rng=rng)
 

@@ -250,8 +250,8 @@ def bench_r1cs_scale():
 
     t0 = time.time()
     v = Verifier(Transcript(b"ShuffleScaleBench"))
-    iv = [v.commit(c) for c in ins]
-    ov = [v.commit(c) for c in outs]
+    iv = v.commit_many(ins)
+    ov = v.commit_many(outs)
     shuffle_gadget(v, iv, ov)
     v.verify(proof, pc, bp, rng=rng)
     record("k-shuffle proof verification", f"k=2^15", time.time() - t0)
@@ -260,8 +260,8 @@ def bench_r1cs_scale():
     # [G | H] tensor already cached device-resident (the steady-state rate)
     t0 = time.time()
     v = Verifier(Transcript(b"ShuffleScaleBench"))
-    iv = [v.commit(c) for c in ins]
-    ov = [v.commit(c) for c in outs]
+    iv = v.commit_many(ins)
+    ov = v.commit_many(outs)
     shuffle_gadget(v, iv, ov)
     v.verify(proof, pc, bp, rng=rng)
     record("k-shuffle proof verification", f"k=2^15 warm", time.time() - t0)

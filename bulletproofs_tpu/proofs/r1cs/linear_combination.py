@@ -56,7 +56,7 @@ class Variable:
 
     @classmethod
     def one(cls):
-        return cls(_ONE, 0)
+        return _VAR_ONE
 
     def is_committed(self):
         return self.kind == _COMMITTED
@@ -84,7 +84,7 @@ class Variable:
 
     # -- algebra: Variable promotes to LinearCombination --------------------
     def to_lc(self) -> "LinearCombination":
-        return LinearCombination([(self, Scalar.one())])
+        return LinearCombination([(self, _SC_ONE)])
 
     def __add__(self, other):
         return self.to_lc() + other
@@ -122,7 +122,7 @@ class LinearCombination:
             return cls(x.terms)
         if isinstance(x, Variable):
             return x.to_lc()
-        return cls([(Variable.one(), _as_scalar(x))])
+        return cls([(_VAR_ONE, _as_scalar(x))])
 
     def __add__(self, other):
         o = LinearCombination.from_value(other)
@@ -155,3 +155,10 @@ class LinearCombination:
 def to_lc(x) -> LinearCombination:
     """Coerce Variable / Scalar / int / LC to a LinearCombination."""
     return LinearCombination.from_value(x)
+
+
+# shared immutable singletons: gadget replay at 2^16 multipliers allocates
+# hundreds of thousands of these; Scalars/Variables are value-immutable so
+# sharing is safe and saves ~1 us per term
+_SC_ONE = Scalar(1)
+_VAR_ONE = Variable(_ONE, 0)

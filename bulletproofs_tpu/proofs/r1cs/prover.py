@@ -140,13 +140,12 @@ class Prover(RandomizableConstraintSystem):
         Returns a list of (compressed V, Variable) pairs."""
         comps = self.pc_gens.commit_many(values, blindings)
         base = len(self.v)
-        out = []
-        for i, (v, vb, V) in enumerate(zip(values, blindings, comps)):
-            self.v.append(v)
-            self.v_blinding.append(vb)
-            self._transcript.append_point(b"V", V)
-            out.append((V, Variable.committed(base + i)))
-        return out
+        self.v.extend(values)
+        self.v_blinding.extend(blindings)
+        self._transcript.append_messages(b"V", b"".join(comps), 32,
+                                         len(comps))
+        return [(V, Variable.committed(base + i))
+                for i, V in enumerate(comps)]
 
     def eval(self, lc: LinearCombination) -> Scalar:
         acc = Scalar.zero()

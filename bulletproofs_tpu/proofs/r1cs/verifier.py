@@ -207,8 +207,16 @@ class Verifier(RandomizableConstraintSystem):
         return Variable.committed(i)
 
     def commit_many(self, commitments) -> List[Variable]:
-        """Batched `commit` (API twin of Prover.commit_many)."""
-        return [self.commit(c) for c in commitments]
+        """Batched `commit` (API twin of Prover.commit_many): one batched
+        transcript absorb instead of a per-point call (the 2^16-commitment
+        shuffle pays ~1 s in the per-commit loop)."""
+        commitments = list(commitments)
+        base = len(self.V)
+        self.V.extend(commitments)
+        self._transcript.append_messages(b"V", b"".join(commitments), 32,
+                                         len(commitments))
+        return [Variable.committed(base + i)
+                for i in range(len(commitments))]
 
     def flattened_constraints(self, z: Scalar):
         """Like the prover's, plus the constant term wc
@@ -243,6 +251,42 @@ class Verifier(RandomizableConstraintSystem):
         return ([Scalar(x) for x in wL], [Scalar(x) for x in wR],
                 [Scalar(x) for x in wO], [Scalar(x) for x in wV],
                 Scalar(wc))
+
+    def flattened_constraints_packed(self, z: Scalar, padded_n: int):
+        """Large-circuit form of `flattened_constraints`: wL/wR/wO emitted
+        as padded 32-byte-little-endian blobs for the native scalar stages
+        (skipping ~3n Scalar allocations and a second to-bytes pass), wV as
+        Scalars, wc as a Scalar.  Semantically identical to the Scalar form
+        (cross-checked in tests/test_r1cs.py)."""
+        from ...core.scalar import L as _L
+        n = self.num_vars
+        m = len(self.V)
+        wL = [0] * n
+        wR = [0] * n
+        wO = [0] * n
+        wV = [0] * m
+        wc = 0
+
+        zv = z.v
+        exp_z = zv
+        for lc in self.constraints:
+            for var, coeff in lc.terms:
+                if var.is_multiplier_left():
+                    wL[var.index] += exp_z * coeff.v
+                elif var.is_multiplier_right():
+                    wR[var.index] += exp_z * coeff.v
+                elif var.is_multiplier_output():
+                    wO[var.index] += exp_z * coeff.v
+                elif var.is_committed():
+                    wV[var.index] -= exp_z * coeff.v
+                else:
+                    wc -= exp_z * coeff.v
+            exp_z = exp_z * zv % _L
+        pad = b"\x00" * (32 * (padded_n - n))
+        return (b"".join((x % _L).to_bytes(32, "little") for x in wL) + pad,
+                b"".join((x % _L).to_bytes(32, "little") for x in wR) + pad,
+                b"".join((x % _L).to_bytes(32, "little") for x in wO) + pad,
+                [Scalar(x) for x in wV], Scalar(wc))
 
     def _create_randomized_constraints(self) -> None:
         self.pending_multiplier = None
@@ -388,14 +432,18 @@ class Verifier(RandomizableConstraintSystem):
 
         w = transcript.challenge_scalar(b"w")
 
-        wL, wR, wO, wV, wc = self.flattened_constraints(z)
-
         a = proof.ipp_proof.a
         b = proof.ipp_proof.b
         y_inv = y.invert()
 
         from ...core._native import LIB as _NV
-        if _NV is not None and padded_n >= _NATIVE_MIN_N:
+        use_native = _NV is not None and padded_n >= _NATIVE_MIN_N
+        if use_native:
+            wL_b, wR_b, wO_b, wV, wc = self.flattened_constraints_packed(
+                z, padded_n)
+        else:
+            wL, wR, wO, wV, wc = self.flattened_constraints(z)
+        if use_native:
             # large-circuit path: challenges replayed here, then the
             # s-vector and g/h scalar streams (verifier.rs:398-445) run in
             # the native backend on packed scalars
@@ -414,11 +462,6 @@ class Verifier(RandomizableConstraintSystem):
             except Exception:
                 raise R1CSError(R1CSError.VERIFICATION)
             import ctypes as _ct
-            zero32 = bytes(32)
-
-            def pk_pad(xs):
-                return (b"".join(s.to_bytes() for s in xs)
-                        + zero32 * (padded_n - len(xs)))
 
             g_buf = _ct.create_string_buffer(32 * padded_n)
             h_buf = _ct.create_string_buffer(32 * padded_n)
@@ -430,7 +473,7 @@ class Verifier(RandomizableConstraintSystem):
                 b"".join(c.to_bytes() for c in chal),
                 x.to_bytes(), y_inv.to_bytes(), u.to_bytes(),
                 a.to_bytes(), b.to_bytes(),
-                pk_pad(wL), pk_pad(wR), pk_pad(wO),
+                wL_b, wR_b, wO_b,
                 g_buf, h_buf, d_buf, usq_buf, uisq_buf)
 
             def unpk(buf, k):

@@ -52,6 +52,19 @@ class Transcript:
     def append_u64(self, label: bytes, x: int) -> None:
         self.append_message(label, _u64le(x))
 
+    def append_messages(self, label: bytes, blob: bytes, msg_len: int,
+                        count: int) -> None:
+        """`count` equal-length messages under one label, byte-identical to
+        the append_message loop (batched into one native call when the C++
+        strobe backend is loaded -- the R1CS commit hot path)."""
+        am = getattr(self.strobe, "append_many", None)
+        if am is not None:
+            am(label, blob, msg_len, count)
+        else:
+            for i in range(count):
+                self.append_message(label,
+                                    blob[i * msg_len: (i + 1) * msg_len])
+
     def challenge_bytes(self, label: bytes, n: int) -> bytes:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_u32le(n), True)

@@ -138,6 +138,13 @@ def _load_native():
     for name in ("strobe_init", "strobe_meta_ad", "strobe_ad", "strobe_prf",
                  "strobe_key"):
         getattr(lib, name).restype = None
+    try:
+        lib.strobe_append_many.restype = None
+        lib.strobe_append_many.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+    except AttributeError:
+        pass   # older .so build: batched absorb auto-disables
     return lib
 
 
@@ -183,6 +190,13 @@ class CStrobe128:
 
     def key(self, data: bytes, more: bool) -> None:
         _NATIVE.strobe_key(self.buf, bytes(data), len(data), int(more))
+
+    def append_many(self, label: bytes, msgs: bytes, msg_len: int,
+                    count: int) -> None:
+        """`count` Merlin-framed messages of msg_len bytes (one C call;
+        byte-identical to count append_message calls)."""
+        _NATIVE.strobe_append_many(self.buf, bytes(label), len(label),
+                                   bytes(msgs), msg_len, count)
 
 
 Strobe128 = CStrobe128 if _NATIVE is not None else PyStrobe128

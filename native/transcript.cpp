@@ -333,4 +333,25 @@ void strobe_key(Strobe* s, const uint8_t* data, size_t len, int more) {
   overwrite(s, data, len);
 }
 
+// Batched Merlin append_message: `count` messages of `msg_len` bytes each
+// (concatenated in `msgs`), every one framed with the same label --
+// byte-identical to `count` single appends, one library call instead of
+// 3*count (the R1CS verifier absorbs one V point per committed input;
+// 2^16-commitment circuits pay ~200k ctypes crossings without this).
+void strobe_append_many(Strobe* s, const uint8_t* label, size_t label_len,
+                        const uint8_t* msgs, size_t msg_len,
+                        uint64_t count) {
+  const uint8_t len_le[4] = {
+      (uint8_t)(msg_len), (uint8_t)(msg_len >> 8),
+      (uint8_t)(msg_len >> 16), (uint8_t)(msg_len >> 24)};
+  for (uint64_t i = 0; i < count; ++i) {
+    begin_op(s, FLAG_M | FLAG_A, 0);
+    absorb(s, label, label_len);
+    begin_op(s, FLAG_M | FLAG_A, 1);
+    absorb(s, len_le, 4);
+    begin_op(s, FLAG_A, 0);
+    absorb(s, msgs + i * msg_len, msg_len);
+  }
+}
+
 }  // extern "C"
