@@ -240,7 +240,10 @@ def main():
     if os.environ.get("BPTPU_BENCH_SKIP_EXTRAS") != "1":
         try:
             m16 = 16
-            agg_batch = 16 if cpu_fallback else 128
+            # 256: the round streams run at batch-width lanes, and smaller
+            # batches under-fill the kernel tiles (19.6 ms/proof at 128 vs
+            # 11.1 at 256; docs/kernels.md round-5 table)
+            agg_batch = 16 if cpu_fallback else 256
             bp16 = BulletproofGens(n, m16)
             from bulletproofs_tpu.proofs.batch_prover import BatchProver as _BP
             aprover = _BP(bp16, pc_gens, n, m=m16)

@@ -65,9 +65,17 @@ class Settings:
         default_factory=lambda: _env_opt_int("BPTPU_MSM_DEVICE_FLOOR"))
 
     # total point count from which LinearProof.batch_verify routes its
-    # fused MSM to the device kernel on TPU (dyn points upload compressed)
+    # fused MSM to the device kernel on TPU (dyn points upload compressed).
+    # Measured round 5 (after the native batched replay landed): the host
+    # C++ route wins every practical config -- n=1024 x2048 proofs (46k
+    # points) is 1174 ms host vs 1244 ms device, n=1024 x64 is 54 vs 85 ms
+    # -- because the shared C++ replay floors both routes and the device
+    # adds tunnel-sync overhead.  Default effectively disables the device
+    # route (documented negative, docs/kernels.md); force with device=True
+    # or lower this floor on locally-attached hardware.
     linear_device_msm_floor: int = field(
-        default_factory=lambda: _env_int("BPTPU_LINEAR_DEVICE_FLOOR", 2048))
+        default_factory=lambda: _env_int("BPTPU_LINEAR_DEVICE_FLOOR",
+                                         1 << 20))
 
     # circuit size (padded multiplier count) from which the R1CS
     # verification mega-MSM routes to the device kernel on TPU
