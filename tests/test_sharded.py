@@ -86,3 +86,34 @@ def test_mesh_batch_verifier_accepts_and_rejects(rng=Rng()):
         with pytest.raises(ProofError):
             bv.verify_batch(proofs[:2] + [bad] + proofs[3:], vcs,
                             [Transcript(l) for l in transcripts], rng=rng)
+
+
+@pytest.mark.slow
+def test_sharded_canonical_chunks_and_fold():
+    """N > canonical capacity (8 devices x 1024): the canonical CPU-mesh
+    path splits into chunks of ONE reused executable and folds the
+    partials; cross-checked against a one-scalar-mul oracle over a small
+    table of known basepoint multiples (same scheme as the dryrun's
+    2^16-point production stage)."""
+    import jax
+    from bulletproofs_tpu.core.scalar import L as ELL
+
+    mesh = _mesh8()
+    cap = mesh.devices.size * 1024
+    N = cap + 37                      # 2 chunks: one full, one padded
+    rng = np.random.RandomState(11)
+    acc, table = RISTRETTO_BASEPOINT, []
+    for _ in range(16):
+        table.append(acc)
+        acc = acc + RISTRETTO_BASEPOINT
+    table_lanes = jnp.asarray(C.points_to_lanes(table))
+    idx = rng.randint(0, 16, N)
+    pts = jnp.take(table_lanes, jnp.asarray(idx), axis=-1)
+    scalars = [int.from_bytes(rng.bytes(32), "little") % ELL
+               for _ in range(N)]
+    out = jax.device_get(sharded_msm_lanes(pts, scalars, mesh))
+    got = C.lanes_to_points(np.asarray(out).reshape(4, 20, 1))[0]
+    exp_scalar = sum((int(k) + 1) * s for k, s in zip(idx, scalars)) % ELL
+    from bulletproofs_tpu.core.scalar import Scalar as Sc
+    exp = RISTRETTO_BASEPOINT.scalar_mul(Sc(exp_scalar))
+    assert got == exp
