@@ -188,6 +188,20 @@ def main():
     log(f"batch of {batch}: best {dt*1000:.0f} ms of {sorted(round(d*1000) for d in dts)} "
         f"-> {rate:.0f} verifications/s")
 
+    # Emit the headline JSON line NOW: the sections below (MSM rates,
+    # m=16 aggregated, R1CS 2^15) are stderr context rows, and a driver
+    # timeout mid-extras must not cost the already-measured headline.
+    baseline = 1e6 / 1040  # reference verifications/s
+    metric = "batched 64-bit rangeproof verification throughput"
+    if cpu_fallback:
+        metric += " (CPU fallback: TPU tunnel unavailable)"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": "proofs/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }), flush=True)
+
 
     # secondary metric: MSM points/s at 2^16 (stderr only), both ways:
     # tunnel-inclusive (scalars uploaded per call) and DEVICE-RESIDENT
@@ -330,17 +344,6 @@ def main():
                 f"{[round(d, 2) for d in sorted(rdts)]}")
         except Exception as e:
             log(f"R1CS 2^15 bench FAILED: {type(e).__name__}: {e}")
-
-    baseline = 1e6 / 1040  # reference verifications/s
-    metric = "batched 64-bit rangeproof verification throughput"
-    if cpu_fallback:
-        metric += " (CPU fallback: TPU tunnel unavailable)"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(rate, 1),
-        "unit": "proofs/s",
-        "vs_baseline": round(rate / baseline, 3),
-    }))
 
 
 if __name__ == "__main__":
