@@ -54,6 +54,10 @@ NUM_BUCKETS = 9                # signed digits: magnitude in [0, 8]
 
 _INTERPRET = False
 
+# read-side bucket mux as a select tree (see _fixed_accum_kernel);
+# measured-gated -- flipped by benches/_kernel_tune.py style probes
+_MUX_TREE = False
+
 
 # --------------------------------------------------------------------------
 # table precompute (XLA, one-time per base set)
@@ -302,12 +306,29 @@ def _fixed_accum_kernel(consts_ref, niels_ref, digs_ref, out_ref, slab):
         pre = (jnp.where(neg, ymx, ypx), jnp.where(neg, ypx, ymx),
                jnp.where(neg, PM.fneg(td2), td2))
         masks = [mag == b for b in range(NUM_BUCKETS)]
-        cur = [jnp.zeros((L, qblk), jnp.int32) for _ in range(4)]
-        for b in range(NUM_BUCKETS):
-            sb = slab[b]
-            m = masks[b]
-            for c in range(4):
-                cur[c] = cur[c] + jnp.where(m, sb[c], 0)
+        if _MUX_TREE:
+            # read-side bucket select as a binary tree over mag's bits:
+            # 8 selects/coord instead of the 9-where + 9-add one-hot sum
+            # (~10% of per-step lane-ops; the write-back below must stay
+            # one-hot -- only one bucket may change)
+            b0 = (mag & 1) != 0
+            b1 = (mag & 2) != 0
+            b2 = (mag & 4) != 0
+            b3 = mag >= 8
+            t = [jnp.where(b0, slab[2 * i + 1], slab[2 * i])
+                 for i in range(4)]
+            u0 = jnp.where(b1, t[1], t[0])
+            u1 = jnp.where(b1, t[3], t[2])
+            v = jnp.where(b2, u1, u0)
+            cur_arr = jnp.where(b3, slab[8], v)
+            cur = [cur_arr[c] for c in range(4)]
+        else:
+            cur = [jnp.zeros((L, qblk), jnp.int32) for _ in range(4)]
+            for b in range(NUM_BUCKETS):
+                sb = slab[b]
+                m = masks[b]
+                for c in range(4):
+                    cur[c] = cur[c] + jnp.where(m, sb[c], 0)
         new = _mixed_add(tuple(cur), pre)
         for b in range(NUM_BUCKETS):
             sb = slab[b]
