@@ -35,3 +35,17 @@ def test_share_view():
     for j in range(4):
         assert bp.share(j).G(16) == bp.G_vec[j][:16]
         assert bp.share(j).H(8) == bp.H_vec[j][:8]
+
+
+def test_commit_many_rejects_length_mismatch(rng):
+    """Mismatched values/blindings raise instead of zip-truncating (the
+    native path would otherwise emit identity commitments for the tail)."""
+    import pytest
+    from bulletproofs_tpu import Scalar
+    pc = PedersenGens()
+    vals = [Scalar(i + 1) for i in range(20)]
+    blinds = [Scalar.random(rng) for _ in range(19)]
+    with pytest.raises(ValueError):
+        pc.commit_many(vals, blinds)
+    with pytest.raises(ValueError):
+        pc.commit_many(vals[:5], blinds[:9])   # short path too
