@@ -125,23 +125,27 @@ def main():
         log(f"batch prove {batch}: best {prove_dt*1000:.0f} ms of "
             f"{[round(d*1000) for d in sorted(pdts)]} -> "
             f"{batch/prove_dt:.0f} proofs/s (reference single-core: 137/s)")
-        # spot-check a few proofs on host; a transient tunnel glitch in the
-        # device prove shows up here -- re-prove once rather than feeding
-        # bad bytes to the verification metric
+        # Host-check the WHOLE batch (one all-C++ batched verify, ~1-2 s):
+        # a tunnel glitch during the device prove can corrupt a proof the
+        # old 3-proof spot check missed, and a single bad proof kills
+        # every later verify_once attempt deterministically (observed).
+        # On failure, re-prove once on device, then fall back to the host
+        # prover -- the verify metric must never die from prove-side
+        # transport corruption.
+        def _host_check(proofs, vcs):
+            hbv = BatchVerifier(bp_gens, pc_gens, n=n, m=1,
+                                prefer_host=True)
+            hbv.verify_batch(proofs, [[v] for v in vcs],
+                             [Transcript(l) for l in all_labels], rng=rng)
+
         try:
-            for i in (0, batch // 2, batch - 1):
-                all_proofs[i].verify_single(bp_gens, pc_gens,
-                                            Transcript(all_labels[i]),
-                                            flat_vcs[i], n)
+            _host_check(all_proofs, flat_vcs)
         except Exception:
-            log("prove spot-check failed; re-proving batch once")
+            log("host check of device-proved batch failed; re-proving once")
             all_proofs, flat_vcs = prover.prove_batch(
                 all_values, all_blinds,
                 [Transcript(l) for l in all_labels], rng=rng)
-            for i in (0, batch // 2, batch - 1):
-                all_proofs[i].verify_single(bp_gens, pc_gens,
-                                            Transcript(all_labels[i]),
-                                            flat_vcs[i], n)
+            _host_check(all_proofs, flat_vcs)
     except Exception as e:
         log(f"device batch prove FAILED ({type(e).__name__}: {e}); "
             "proving on host instead")

@@ -15,6 +15,7 @@ embedders can also flip them directly before first use.
 | r1cs_device_msm_floor  | BPTPU_R1CS_DEVICE_FLOOR   | proofs/r1cs/verifier device mega-MSM |
 | no_fold_pallas         | BPTPU_NO_FOLD_PALLAS      | ops/fold_pallas.usable |
 | sharded_canonical      | BPTPU_SHARDED_CANONICAL   | parallel/sharded_msm one-executable CPU-mesh shape |
+| segmented_round_pairing| BPTPU_SEGMENTED_ROUND_PAIRING | ops/prover_stages.prove_rest_segmented round pairs |
 | fused_verify_chunk     | BPTPU_FUSED_VERIFY_CHUNK  | parallel/batch_verify sub-batch size (0 = default) |
 | verify_chunk_pts       | BPTPU_VERIFY_CHUNK_PTS    | parallel/batch_verify chunked pipeline |
 | fused_verify_max_nm    | BPTPU_FUSED_VERIFY_MAX_NM | parallel/batch_verify Pallas-emit VMEM gate |
@@ -85,6 +86,15 @@ class Settings:
     # disable the Pallas generator-fold kernel (IPP prover fallback path)
     no_fold_pallas: bool = field(
         default_factory=lambda: bool(os.environ.get("BPTPU_NO_FOLD_PALLAS")))
+
+    # segmented m>1 prover: fuse IPP round PAIRS into one dispatch
+    # (round_step2_fused).  Measured 10.26 -> 10.12 ms/proof at m=16
+    # batch 512 warm, but the extra ~2x-sized executable costs ~90 s of
+    # cold staging on a bad tunnel day -- default off; enable for
+    # long-lived serving processes.
+    segmented_round_pairing: bool = field(
+        default_factory=lambda: bool(
+            os.environ.get("BPTPU_SEGMENTED_ROUND_PAIRING")))
 
     # CPU/virtual meshes: route every sharded MSM through ONE canonical
     # executable shape (chunk + fold for larger inputs) instead of a fresh

@@ -856,6 +856,19 @@ def round_step_fused(niels, xs, k, w, a, b, gw, hw, u, uinv, st):
 
 
 @jax.jit
+def round_step2_fused(niels, xs, k, w, a, b, gw, hw, u, uinv, st):
+    """TWO successive IPP rounds in one launch (rounds k+1 and k+2 of the
+    protocol, i.e. stacked-map indices k and k+1).  Halves the per-round
+    dispatch count of the segmented pipeline; the traced k keeps it
+    shape-uniform like round_step_fused."""
+    lr1, a, b, gw, hw, u, uinv, st = round_step_fused.__wrapped__(
+        niels, xs, k, w, a, b, gw, hw, u, uinv, st)
+    lr2, a, b, gw, hw, u, uinv, st = round_step_fused.__wrapped__(
+        niels, xs, k + 1, w, a, b, gw, hw, u, uinv, st)
+    return lr1, lr2, a, b, gw, hw, u, uinv, st
+
+
+@jax.jit
 def prove_fin_fused(lrs, a, b, u, uinv, tx_by, txb_by, eb_by):
     """Final 2 -> 1 fold; returns (lr_all (lgN, 2P, 32), fin (5, P, 32))."""
     a0 = S.sadd(S.smul(a[:, 0], u), S.smul(a[:, 1], uinv))
@@ -877,10 +890,23 @@ def prove_rest_segmented(n: int, m: int, niels, states_z, red, bits_u8,
         n, m, niels, states_z, red, bits_u8, yz_bytes, vb_bytes)
     lrs = [lr0]
     if R > 1:
+        from ..config import settings
         xs = dyn_round_xs(N)
-        for k in range(R - 1):
+        k = 0
+        # round pairing (opt-in): halves dispatch count for a measured
+        # 10.26 -> 10.12 ms/proof at m=16 batch 512, at the price of one
+        # extra ~2x-sized executable to stage cold (docs/kernels.md) --
+        # worth it for long-lived processes, not for one-shot runs
+        if settings.segmented_round_pairing:
+            while k + 2 <= R - 1:
+                lr1, lr2, a, b, gw, hw, u, uinv, st = round_step2_fused(
+                    niels, xs, jnp.int32(k), w, a, b, gw, hw, u, uinv, st)
+                lrs.extend([lr1, lr2])
+                k += 2
+        while k < R - 1:
             lr, a, b, gw, hw, u, uinv, st = round_step_fused(
                 niels, xs, jnp.int32(k), w, a, b, gw, hw, u, uinv, st)
             lrs.append(lr)
+            k += 1
     lr_all, fin = prove_fin_fused(lrs, a, b, u, uinv, tx_by, txb_by, eb_by)
     return tb, lr_all, fin, st
