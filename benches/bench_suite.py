@@ -346,7 +346,7 @@ def bench_batch_prove():
 
     # aggregated statements through the same pipeline (m values per proof);
     # m=16 is BASELINE.json configs[2] (BulletproofGens(64, 16))
-    for m, batch in ((8, 256), (16, 128)):
+    for m, batch in ((8, 256), (16, 256)):
         bp_m = BulletproofGens(64, m)
         prover_m = BatchProver(bp_m, pc, 64, m=m)
         vals = [[secrets.randbelow(2 ** 64) for _ in range(m)]
